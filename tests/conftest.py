@@ -1,0 +1,18 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding is exercised without TPU hardware.
+
+The harness environment pins JAX_PLATFORMS to a TPU plugin; override it at
+config level before any backend is initialized.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
