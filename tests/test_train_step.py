@@ -1,0 +1,143 @@
+"""End-to-end tests of the fused SSL train step on tiny shapes (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ust_run_tpu.models import UNet
+from ust_run_tpu.semisup import (HyperParams, create_train_state,
+                                 make_train_step)
+from ust_run_tpu.semisup.state import reset_epoch
+
+
+def tiny_hp(dataset="prostate", multilabel=False, n_part=1, num_classes=2,
+            channels=1):
+    return HyperParams(
+        dataset=dataset, patch=64, channels=channels,
+        num_classes=num_classes, multilabel=multilabel, n_part=n_part,
+        label_bs=2, unlabel_bs=2, queue_len=4, domain_num=2,
+        threshold=0.95, cutmix_prob=1.0, LB=0.01, increase=1.0005,
+        consistency=1.0, consistency_rampup=200.0, max_iterations=100,
+        ema_decay=0.99, base_lr=0.03, min_v=0.1, max_v=2.0, fillcolor=255,
+        blur_radius=3)
+
+
+def fake_batch(hp, seed=0):
+    rng = np.random.RandomState(seed)
+    k = 2 if hp.multilabel else (3 if hp.dataset == "MNMS" else 1)
+    k = 1 if hp.dataset != "MNMS" else 3
+
+    def lab(shape):
+        if hp.dataset == "fundus":
+            return rng.choice([0, 128, 255], shape).astype(np.uint8)
+        if hp.dataset == "prostate":
+            return rng.choice([0, 255], shape).astype(np.uint8)
+        if hp.dataset == "BUSI":
+            return rng.choice([0, 255], shape).astype(np.uint8)
+        return rng.choice([0, 255], shape).astype(np.uint8)
+
+    return {
+        "lb_img": rng.randint(0, 256, (hp.label_bs, 64, 64, hp.channels),
+                              ).astype(np.uint8),
+        "lb_lab": lab((hp.label_bs, 64, 64, k)),
+        "ulb_img": rng.randint(0, 256, (hp.unlabel_bs, 64, 64, hp.channels),
+                               ).astype(np.uint8),
+        "ulb_lab": lab((hp.unlabel_bs, 64, 64, k)),
+        "lb_dc": np.full(hp.label_bs, 1, np.int32),
+        "ulb_dc": np.asarray([1, 2], np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def prostate_setup():
+    hp = tiny_hp()
+    model = UNet(n_channels=hp.channels, n_classes=hp.num_classes)
+    step = make_train_step(model, hp)
+    return hp, model, step
+
+
+def test_step_runs_and_updates(prostate_setup):
+    hp, model, step = prostate_setup
+    state = create_train_state(model, hp, seed=0)
+    batch = fake_batch(hp)
+    p0 = np.array(state.params["outc"]["kernel"])  # copy before donation
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["sup_loss"]))
+    assert not np.allclose(np.asarray(new_state.params["outc"]["kernel"]),
+                           p0)
+    # first EMA update has alpha=0 -> teacher == student (train.py:91)
+    np.testing.assert_allclose(
+        np.asarray(new_state.ema_params["outc"]["kernel"]),
+        np.asarray(new_state.params["outc"]["kernel"]), rtol=1e-6)
+    # epoch 0: hardness forced to 1 -> queue must stay empty (train.py:711)
+    assert int(metrics["queue_count"]) == 0
+    assert int(metrics["cur_simple_num"]) == 0
+    # LQ carry becomes valid after the first step (train.py:749-751)
+    assert bool(new_state.lq.valid)
+
+
+def test_multi_step_and_lq_branch(prostate_setup):
+    hp, model, step = prostate_setup
+    state = create_train_state(model, hp, seed=0)
+    batch = fake_batch(hp)
+    s1, m1 = step(state, batch)
+    s2, m2 = step(s1, fake_batch(hp, seed=1))
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m2["loss"]))
+    # consistency weight follows the staircase (train.py:819-820)
+    assert float(m1["consistency_weight"]) > 0
+
+
+def test_queue_fills_when_threshold_high(prostate_setup):
+    hp, model, step = prostate_setup
+    state = create_train_state(model, hp, seed=0)
+    # epoch 1 + generous threshold -> every sample is "simple"
+    state = reset_epoch(state, 1)
+    state = state.replace(choice_th=jnp.asarray(2.0, jnp.float32))
+    s, m = step(state, fake_batch(hp))
+    assert int(m["cur_simple_num"]) == hp.unlabel_bs
+    assert int(m["queue_count"]) == hp.unlabel_bs
+    # run more steps: queue caps at queue_len with newest entries first
+    th = 2.0
+    for i in range(3):
+        s = s.replace(choice_th=jnp.asarray(th, jnp.float32))
+        s, m = step(s, fake_batch(hp, seed=i + 10))
+    assert int(m["queue_count"]) == hp.queue_len
+    assert np.asarray(s.queue.valid).all()
+    # choice_th clamps to the max hardness in the buffer (train.py:764,777)
+    assert float(s.choice_th) <= np.asarray(s.queue.hardness).max() + 1e-6
+
+
+def test_epoch_reset_invalidates_lq(prostate_setup):
+    hp, model, step = prostate_setup
+    state = create_train_state(model, hp, seed=0)
+    s, _ = step(state, fake_batch(hp))
+    assert bool(s.lq.valid)
+    s = reset_epoch(s, 1)
+    assert not bool(s.lq.valid)
+
+
+def test_fundus_multilabel_variant():
+    hp = tiny_hp(dataset="fundus", multilabel=True, n_part=2, channels=3)
+    model = UNet(n_channels=3, n_classes=2)
+    state = create_train_state(model, hp, seed=0)
+    step = make_train_step(model, hp)
+    batch = fake_batch(hp)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["ulb_dice"].shape == (2,)
+    assert new_state.queue.pl.shape == (4, 64, 64, 2)
+
+
+def test_step_deterministic(prostate_setup):
+    hp, model, step = prostate_setup
+    b = fake_batch(hp)
+    # donated buffers: rebuild state for each call
+    s_a = create_train_state(model, hp, seed=0)
+    s_b = create_train_state(model, hp, seed=0)
+    _, m1 = step(s_a, b)
+    _, m2 = step(s_b, b)
+    assert float(m1["loss"]) == float(m2["loss"])
