@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: SSL training throughput (images/sec/chip).
+
+Measures the steady-state pipelined rate of the fused train step on the
+fundus U-Net config (256x256, batch 4 labeled + 4 unlabeled — the
+reference's effective batch, train.py:56-57,404-414), on whatever chip(s)
+JAX exposes, and prints ONE JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The reference
+pipeline runs 7 U-Net forwards + 1 backward per step on a single GPU plus
+a per-step CPU FDA round-trip and host-side per-sample dice
+(train.py:577-858). On a V100-class GPU that is ~2 it/s -> ~16 img/s;
+`vs_baseline` is measured against that documented estimate (target: >=5x,
+BASELINE.json north star).
+"""
+
+import json
+import os
+import time
+
+REFERENCE_GPU_IMG_PER_SEC = 16.0  # documented estimate, see module docstring
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import numpy as np
+
+    from ust_run_tpu.config import TrainConfig
+    from ust_run_tpu.engine.trainer import build_model
+    from ust_run_tpu.semisup import (HyperParams, create_train_state,
+                                     make_train_step)
+
+    cfg = TrainConfig(dataset="fundus").resolve()
+    hp = HyperParams.from_config(cfg)
+    model = build_model(cfg)
+    state = create_train_state(model, hp, 0)
+    step = make_train_step(model, hp)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "lb_img": rng.randint(0, 256, (4, 256, 256, 3)).astype(np.uint8),
+        "lb_lab": rng.choice([0, 128, 255], (4, 256, 256, 1)).astype(np.uint8),
+        "ulb_img": rng.randint(0, 256, (4, 256, 256, 3)).astype(np.uint8),
+        "ulb_lab": rng.choice([0, 128, 255], (4, 256, 256, 1)).astype(np.uint8),
+        "lb_dc": np.ones(4, np.int32),
+        "ulb_dc": np.ones(4, np.int32),
+    }
+
+    # compile + warmup
+    state, m = step(state, batch)
+    float(np.asarray(m)[0])
+    for _ in range(5):
+        state, m = step(state, batch)
+    float(np.asarray(m)[0])
+
+    # steady state with one-step-lag metric fetch (the production pattern)
+    n_steps = 40
+    pending = None
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, m = step(state, batch)
+        if pending is not None:
+            float(np.asarray(pending)[0])
+        pending = m
+    float(np.asarray(pending)[0])
+    dt = (time.time() - t0) / n_steps
+
+    imgs_per_sec = (cfg.label_bs + cfg.unlabel_bs) / dt
+    print(json.dumps({
+        "metric": "ssl_train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

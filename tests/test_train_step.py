@@ -8,6 +8,7 @@ import pytest
 from ust_run_tpu.models import UNet
 from ust_run_tpu.semisup import (HyperParams, create_train_state,
                                  make_train_step)
+from ust_run_tpu.semisup.step import unpack_metrics
 from ust_run_tpu.semisup.state import reset_epoch
 
 
@@ -63,6 +64,7 @@ def test_step_runs_and_updates(prostate_setup):
     batch = fake_batch(hp)
     p0 = np.array(state.params["outc"]["kernel"])  # copy before donation
     new_state, metrics = step(state, batch)
+    metrics = unpack_metrics(np.asarray(metrics), hp)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["sup_loss"]))
@@ -85,6 +87,8 @@ def test_multi_step_and_lq_branch(prostate_setup):
     batch = fake_batch(hp)
     s1, m1 = step(state, batch)
     s2, m2 = step(s1, fake_batch(hp, seed=1))
+    m1 = unpack_metrics(np.asarray(m1), hp)
+    m2 = unpack_metrics(np.asarray(m2), hp)
     assert int(s2.step) == 2
     assert np.isfinite(float(m2["loss"]))
     # consistency weight follows the staircase (train.py:819-820)
@@ -98,6 +102,7 @@ def test_queue_fills_when_threshold_high(prostate_setup):
     state = reset_epoch(state, 1)
     state = state.replace(choice_th=jnp.asarray(2.0, jnp.float32))
     s, m = step(state, fake_batch(hp))
+    m = unpack_metrics(np.asarray(m), hp)
     assert int(m["cur_simple_num"]) == hp.unlabel_bs
     assert int(m["queue_count"]) == hp.unlabel_bs
     # run more steps: queue caps at queue_len with newest entries first
@@ -105,6 +110,7 @@ def test_queue_fills_when_threshold_high(prostate_setup):
     for i in range(3):
         s = s.replace(choice_th=jnp.asarray(th, jnp.float32))
         s, m = step(s, fake_batch(hp, seed=i + 10))
+    m = unpack_metrics(np.asarray(m), hp)
     assert int(m["queue_count"]) == hp.queue_len
     assert np.asarray(s.queue.valid).all()
     # choice_th clamps to the max hardness in the buffer (train.py:764,777)
@@ -127,6 +133,7 @@ def test_fundus_multilabel_variant():
     step = make_train_step(model, hp)
     batch = fake_batch(hp)
     new_state, metrics = step(state, batch)
+    metrics = unpack_metrics(np.asarray(metrics), hp)
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["ulb_dice"].shape == (2,)
     assert new_state.queue.pl.shape == (4, 64, 64, 2)
@@ -140,4 +147,6 @@ def test_step_deterministic(prostate_setup):
     s_b = create_train_state(model, hp, seed=0)
     _, m1 = step(s_a, b)
     _, m2 = step(s_b, b)
+    m1 = unpack_metrics(np.asarray(m1), hp)
+    m2 = unpack_metrics(np.asarray(m2), hp)
     assert float(m1["loss"]) == float(m2["loss"])

@@ -130,7 +130,11 @@ class TrainConfig:
         p = self.profile()
         self.label_bs = 4
         self.unlabel_bs = 4
-        self.max_iterations = p.max_iterations
+        # the reference unconditionally overwrites max_iterations from the
+        # dataset profile (train.py:412,423,434); we honor an explicit
+        # non-default value so short smoke runs are possible from the CLI.
+        if self.max_iterations == 60000:
+            self.max_iterations = p.max_iterations
         self.domain_num = min(self.domain_num, p.max_domains)
         if self.data_root is None:
             self.data_root = DEFAULT_DATA_ROOTS[self.dataset]

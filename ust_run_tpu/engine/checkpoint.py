@@ -1,0 +1,54 @@
+"""Checkpoint I/O with the reference's artifact semantics.
+
+Reference (utils/util.py:259-297, train.py:542-548, 946-958):
+  * rolling `checkpoint.pth` after every epoch — full state: epoch,
+    teacher, student, optimizer, best-dice bookkeeping;
+  * `unet_avg_dice_best_model.pth` — student weights only, written on a
+    new best student average dice; loaded by test.py:242;
+  * `--load` resumes from `<model_root>/<dataset>/<save_name>/checkpoint.pth`
+    (the `--load_path` flag is dead in the reference and stays dead here).
+
+Format: numpy pytrees pickled with a manifest — self-contained, no torch.
+The .pth names are preserved so existing experiment tooling finds them.
+"""
+
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, state, epoch, best_avg_dice, best_avg_dice_iter,
+                    stu_best_avg_dice, stu_best_avg_dice_iter):
+    payload = {
+        "epoch": epoch,
+        "state": _to_numpy(state),
+        "best_dice": best_avg_dice,
+        "best_iter": best_avg_dice_iter,
+        "stu_best_dice": stu_best_avg_dice,
+        "stu_best_iter": stu_best_avg_dice_iter,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload
+
+
+def save_best_model(path, params, batch_stats):
+    """Student-only snapshot (train.py:946-949)."""
+    with open(path, "wb") as f:
+        pickle.dump({"params": _to_numpy(params),
+                     "batch_stats": _to_numpy(batch_stats)}, f, protocol=4)
+
+
+def load_best_model(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,296 @@
+"""The training driver: epoch loop, evaluation scheduling, checkpointing.
+
+Capability parity with reference train() (train.py:400-961 /
+train_mnms.py:393-877). The hot loop itself is the fused jitted step
+(semisup/step.py); this module owns everything around it:
+
+  * dataset/loader construction with the reference's split semantics
+    (train.py:464-494);
+  * the epoch structure: num_eval_iter steps per epoch, LQ reset at epoch
+    start (train.py:576), epoch-end curriculum summaries
+    (train.py:888-907);
+  * EMA + student evaluation every epoch with best-dice tracking and the
+    best-student snapshot (train.py:913-954);
+  * rolling checkpoint + resume (train.py:542-548, 955-958);
+  * scalar logging with the reference's tag names (train.py:859-870).
+
+Metrics are fetched with one-step lag so the host never blocks the device
+pipeline.
+"""
+
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from ust_run_tpu.config import TrainConfig
+from ust_run_tpu.data.datasets import SegmentationDataset
+from ust_run_tpu.data.pipeline import BatchPipeline, TestLoader
+from ust_run_tpu.engine import checkpoint as ckpt
+from ust_run_tpu.engine.evaluator import Evaluator
+from ust_run_tpu.models import UNet
+from ust_run_tpu.parallel import (batch_sharding, make_mesh,
+                                  replicated_sharding, shard_batch)
+from ust_run_tpu.semisup import (HyperParams, create_train_state,
+                                 make_train_step)
+from ust_run_tpu.semisup.state import reset_epoch
+from ust_run_tpu.semisup.step import unpack_metrics
+from ust_run_tpu.utils.logging_utils import MetricWriter
+from ust_run_tpu.utils.meters import AverageMeter
+
+
+def build_model(cfg: TrainConfig, dtype=None):
+    p = cfg.profile()
+    if cfg.model == "unet":
+        import jax.numpy as jnp
+        model_dtype = jnp.bfloat16 if (cfg.amp and dtype is None) else dtype
+        return UNet(n_channels=p.num_channels, n_classes=p.num_classes,
+                    dtype=model_dtype)
+    raise ValueError(f"unknown model {cfg.model!r}")
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, snapshot_path, use_mesh=True):
+        self.cfg = cfg
+        self.snapshot_path = snapshot_path
+        p = cfg.profile()
+        self.profile_ = p
+        self.hp = HyperParams.from_config(cfg)
+        self.model = build_model(cfg)
+
+        lb_num = cfg.labeled_count()
+        data_num = p.domain_len[cfg.lb_domain - 1]
+        domains = list(range(1, cfg.domain_num + 1))
+        lb_idxs = list(range(lb_num))                      # train.py:478
+        ulb_idxs = list(range(lb_num, data_num))           # train.py:479
+
+        self.lb_ds = SegmentationDataset(cfg.dataset, p, cfg.data_root,
+                                         "train", cfg.lb_domain,
+                                         [cfg.lb_domain], lb_idxs)
+        self.ulb_ds = SegmentationDataset(cfg.dataset, p, cfg.data_root,
+                                          "train", cfg.lb_domain, domains,
+                                          ulb_idxs)
+        self.test_loaders = []
+        for i in domains:
+            ds = SegmentationDataset(cfg.dataset, p, cfg.data_root, "test",
+                                     -1, [i])
+            self.test_loaders.append(TestLoader(ds, cfg.eval_batch))
+
+        self.lb_pipe = BatchPipeline(self.lb_ds, cfg.label_bs,
+                                     seed=cfg.seed)
+        self.ulb_pipe = BatchPipeline(self.ulb_ds, cfg.unlabel_bs,
+                                      seed=cfg.seed + 1)
+
+        self.mesh = None
+        shardings = {}
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = make_mesh(cfg.num_devices)
+            shardings = dict(mesh=self.mesh,
+                             data_sharding=batch_sharding(self.mesh),
+                             repl_sharding=replicated_sharding(self.mesh))
+        self.step_fn = make_train_step(self.model, self.hp, **shardings)
+        self.state = create_train_state(self.model, self.hp, cfg.seed)
+        self.evaluator = Evaluator(self.model, self.hp, self.test_loaders,
+                                   list(p.parts))
+        self.writer = MetricWriter(os.path.join(snapshot_path, "log"))
+
+        # best-dice bookkeeping (train.py:526-535)
+        n_part = p.n_part
+        self.best_dice = [0.0] * n_part
+        self.best_dice_iter = [-1] * n_part
+        self.best_avg_dice = 0.0
+        self.best_avg_dice_iter = -1
+        self.dice_of_best_avg = [0.0] * n_part
+        self.stu_best_dice = [0.0] * n_part
+        self.stu_best_dice_iter = [-1] * n_part
+        self.stu_best_avg_dice = 0.0
+        self.stu_best_avg_dice_iter = -1
+        self.stu_dice_of_best_avg = [0.0] * n_part
+        self.start_epoch = 0
+
+        if cfg.load:
+            path = os.path.join(self.snapshot_path, "checkpoint.pth")
+            payload = ckpt.load_checkpoint(path)
+            self.state = jax.tree.map(
+                lambda t, v: jax.numpy.asarray(v).astype(t.dtype),
+                self.state, payload["state"])
+            self.start_epoch = payload["epoch"]
+            self.best_avg_dice = payload["best_dice"]
+            self.best_avg_dice_iter = payload["best_iter"]
+            self.stu_best_avg_dice = payload["stu_best_dice"]
+            self.stu_best_avg_dice_iter = payload["stu_best_iter"]
+            logging.info("Models restored from epoch %d", self.start_epoch)
+
+    def _next_batch(self):
+        a = self.lb_pipe.next()
+        b = self.ulb_pipe.next()
+        batch = {"lb_img": a["image"], "lb_lab": a["label"],
+                 "ulb_img": b["image"], "ulb_lab": b["label"],
+                 "lb_dc": a["dc"], "ulb_dc": b["dc"]}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch, b["names"]
+
+    def train(self):
+        cfg = self.cfg
+        parts = list(self.profile_.parts)
+        n_part = len(parts)
+        max_epoch = cfg.max_iterations // cfg.num_eval_iter
+        logging.info("%d iterations per epoch", cfg.num_eval_iter)
+        logging.info("%d epoch in all.", max_epoch)
+        iter_num = self.start_epoch * cfg.num_eval_iter
+
+        for epoch_num in range(self.start_epoch, max_epoch):
+            self.state = reset_epoch(self.state, epoch_num)
+            avg_hardness = AverageMeter()
+            avg_dice = [AverageMeter() for _ in range(n_part)]
+            other_avg = [AverageMeter() for _ in range(n_part)]
+            all_avg = [AverageMeter() for _ in range(n_part)]
+            lq_avg = [AverageMeter() for _ in range(n_part)]
+            dc_record = np.zeros(cfg.domain_num)
+            pending = None   # (iter_num_of_metrics, metrics)
+            t0 = time.time()
+
+            for i_batch in range(1, cfg.num_eval_iter + 1):
+                batch, _ = self._next_batch()
+                self.state, metrics = self.step_fn(self.state, batch)
+                iter_num += 1
+                if pending is not None:
+                    self._log_step(*pending, parts, avg_hardness, avg_dice,
+                                   other_avg, all_avg, lq_avg, dc_record)
+                pending = (iter_num, metrics)
+            # drain the last step's metrics
+            self._log_step(*pending, parts, avg_hardness, avg_dice,
+                           other_avg, all_avg, lq_avg, dc_record)
+            dt = time.time() - t0
+            imgs = cfg.num_eval_iter * (cfg.label_bs + cfg.unlabel_bs)
+            logging.info("epoch %d: %.1f it/s, %.1f images/s",
+                         epoch_num + 1, cfg.num_eval_iter / dt, imgs / dt)
+
+            # epoch-end curriculum summaries (train.py:888-907)
+            for i, pn in enumerate(parts):
+                logging.info("epoch simple dice avg %s:%f", pn,
+                             avg_dice[i].avg)
+            for i, pn in enumerate(parts):
+                logging.info("epoch other ulb dice avg %s:%f", pn,
+                             other_avg[i].avg)
+            for i, pn in enumerate(parts):
+                logging.info("epoch all ulb dice avg %s:%f", pn,
+                             all_avg[i].avg)
+            for i, pn in enumerate(parts):
+                logging.info("epoch lq ulb dice avg %s:%f", pn, lq_avg[i].avg)
+            logging.info("epoch simple hardness avg:%f", avg_hardness.avg)
+            logging.info("choice threshold:%f", float(self.state.choice_th))
+            for i in range(cfg.domain_num):
+                logging.info("epoch simple domain %d cnt: %d", i + 1,
+                             int(dc_record[i]))
+
+            self._evaluate_and_checkpoint(epoch_num, iter_num, parts)
+
+        self.writer.close()
+
+    # ------------------------------------------------------------------
+    def _log_step(self, it, metrics, parts, avg_hardness, avg_dice,
+                  other_avg, all_avg, lq_avg, dc_record):
+        cfg = self.cfg
+        m = unpack_metrics(np.asarray(metrics), self.hp)
+        cur_n = int(m["cur_simple_num"])
+        if cur_n > 0:
+            for i in range(len(parts)):
+                avg_dice[i].update(float(m["cur_simple_dice"][i]))
+            avg_hardness.update(float(m["simple_hardness"]))
+            dc_record += m["simple_dc_counts"]
+        if cur_n < cfg.unlabel_bs:
+            for i in range(len(parts)):
+                other_avg[i].update(float(m["other_ulb_dice"][i]))
+        for i in range(len(parts)):
+            all_avg[i].update(float(m["ulb_dice"][i]))
+            lq_avg[i].update(float(m["lq_dice"][i]))
+
+        if it % cfg.log_interval == 0 or it % cfg.num_eval_iter == 0:
+            w = self.writer
+            for i, pn in enumerate(parts):
+                w.add_scalar(f"train/ulb_{pn}_dice", m["ulb_dice"][i], it)
+            w.add_scalar("train/mask", m["mask_ratio"], it)
+            w.add_scalar("train/lr", m["lr"], it)
+            w.add_scalar("train/loss", m["loss"], it)
+            w.add_scalar("train/sup_loss", m["sup_loss"], it)
+            w.add_scalar("train/unsup_loss_ul", m["unsup_loss_ul"], it)
+            w.add_scalar("train/unsup_loss_lu", m["unsup_loss_lu"], it)
+            w.add_scalar("train/unsup_loss_s", m["unsup_loss_s"], it)
+            w.add_scalar("train/consistency_weight",
+                         m["consistency_weight"], it)
+            w.add_scalar("train/bi_consistency_weight",
+                         float(m["consistency_weight"]) ** 2, it)
+        if it % cfg.num_eval_iter == 0:
+            logging.info(
+                "iteration %d : loss : %f, sup_loss : %f, unsup_loss_ul : %f,"
+                " unsup_loss_lu : %f, unsup_loss_s:%.3f,cons_w : %f,"
+                " mask_ratio : %f", it, m["loss"], m["sup_loss"],
+                m["unsup_loss_ul"], m["unsup_loss_lu"], m["unsup_loss_s"],
+                m["consistency_weight"], m["mask_ratio"])
+            for i, pn in enumerate(parts):
+                logging.info("cur simple dice avg %s:%f", pn,
+                             float(m["queue_dice"][i]))
+
+    # ------------------------------------------------------------------
+    def _evaluate_and_checkpoint(self, epoch_num, iter_num, parts):
+        cfg = self.cfg
+        n_part = len(parts)
+        logging.info("test ema model")
+        val_dice = self.evaluator.run(self.state.ema_params,
+                                      self.state.ema_batch_stats,
+                                      epoch_num + 1, self.writer, ema=True)
+        text = ""
+        for i, pn in enumerate(parts):
+            if val_dice[i] > self.best_dice[i]:
+                self.best_dice[i] = val_dice[i]
+                self.best_dice_iter[i] = iter_num
+            text += "val_%s_best_dice: %f at %d iter, " % (
+                pn, self.best_dice[i], self.best_dice_iter[i])
+        if sum(val_dice) / n_part > self.best_avg_dice:
+            self.best_avg_dice = sum(val_dice) / n_part
+            self.best_avg_dice_iter = iter_num
+            self.dice_of_best_avg = list(val_dice)
+        text += "val_best_avg_dice: %f at %d iter" % (
+            self.best_avg_dice, self.best_avg_dice_iter)
+        if n_part > 1:
+            for i, pn in enumerate(parts):
+                text += ", %s_dice: %f" % (pn, self.dice_of_best_avg[i])
+        logging.info(text)
+
+        logging.info("test stu model")
+        stu_dice = self.evaluator.run(self.state.params,
+                                      self.state.batch_stats,
+                                      epoch_num + 1, self.writer, ema=False)
+        text = ""
+        for i, pn in enumerate(parts):
+            if stu_dice[i] > self.stu_best_dice[i]:
+                self.stu_best_dice[i] = stu_dice[i]
+                self.stu_best_dice_iter[i] = iter_num
+            text += "stu_val_%s_best_dice: %f at %d iter, " % (
+                pn, self.stu_best_dice[i], self.stu_best_dice_iter[i])
+        if sum(stu_dice) / n_part > self.stu_best_avg_dice:
+            self.stu_best_avg_dice = sum(stu_dice) / n_part
+            self.stu_best_avg_dice_iter = iter_num
+            self.stu_dice_of_best_avg = list(stu_dice)
+            save_best = os.path.join(self.snapshot_path,
+                                     f"{cfg.model}_avg_dice_best_model.pth")
+            logging.info("save cur best avg model to %s", save_best)
+            ckpt.save_best_model(save_best, self.state.params,
+                                 self.state.batch_stats)
+        text += "val_best_avg_dice: %f at %d iter" % (
+            self.stu_best_avg_dice, self.stu_best_avg_dice_iter)
+        if n_part > 1:
+            for i, pn in enumerate(parts):
+                text += ", %s_dice: %f" % (pn, self.stu_dice_of_best_avg[i])
+        logging.info(text)
+
+        path = os.path.join(self.snapshot_path, "checkpoint.pth")
+        ckpt.save_checkpoint(path, self.state, epoch_num + 1,
+                             self.best_avg_dice, self.best_avg_dice_iter,
+                             self.stu_best_avg_dice,
+                             self.stu_best_avg_dice_iter)
+        logging.info("save checkpoint to %s", path)

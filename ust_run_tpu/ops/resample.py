@@ -8,7 +8,10 @@ coordinate map, so each image is resampled with a single vectorized gather
 instead of four sequential CPU interpolations.
 """
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 
 def bilinear_gather(img, rows, cols):
@@ -46,26 +49,36 @@ def nearest_gather(img, rows, cols):
     return jnp.take(img.reshape(h * w, -1), r * w + c, axis=0)
 
 
-def separable_gaussian_blur(img, kernel):
-    """Depthwise separable gaussian blur with reflect padding.
+@functools.lru_cache(maxsize=None)
+def _reflect_tap_matrices(size, ktaps):
+    """Static (K, size, size) 0/1 tap matrices for a reflect-padded 1-D
+    conv: tap t of output i reads source reflect(i + t - r)."""
+    r = ktaps // 2
+    m = np.zeros((ktaps, size, size), np.float32)
+    for t in range(ktaps):
+        j = np.arange(size) + t - r
+        j = np.where(j < 0, -j, j)
+        j = np.where(j >= size, 2 * size - 2 - j, j)
+        m[t, np.arange(size), j] = 1.0
+    return m  # numpy: safe to cache across traces
 
-    img: (H, W, C); kernel: (K,) normalized 1-D kernel. Matches the
-    reference's reflection-padded two-pass conv (custom_transforms.py:78-118:
-    ReflectionPad2d(r) + blur_h + blur_v).
+
+def separable_gaussian_blur(img, kernel):
+    """Separable gaussian blur with reflect padding as two MXU matmuls.
+
+    img: (H, W, C); kernel: (K,) normalized 1-D kernel (may be traced —
+    per-sample sigma). Matches the reference's reflection-padded two-pass
+    conv (custom_transforms.py:78-118: ReflectionPad2d(r) + blur_h +
+    blur_v). The banded filter matrix is contracted from static tap
+    matrices so the heavy work is dense matmul, not 1-channel conv.
     """
-    k = kernel.shape[0]
-    r = k // 2
-    x = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
-    # horizontal then vertical 1-D convolutions via dot products over
-    # shifted slices (K taps, unrolled; K is static and modest).
     h, w, c = img.shape
-    out = jnp.zeros((h + 2 * r, w, c), img.dtype)
-    for i in range(k):
-        out = out + x[:, i:i + w, :] * kernel[i]
-    out2 = jnp.zeros((h, w, c), img.dtype)
-    for i in range(k):
-        out2 = out2 + out[i:i + h, :, :] * kernel[i]
-    return out2
+    assert h == w, "square images expected"
+    taps = jnp.asarray(_reflect_tap_matrices(h, kernel.shape[0]))
+    m = jnp.einsum("t,tij->ij", kernel, taps)
+    rows = jnp.dot(m, img.reshape(h, w * c),
+                   preferred_element_type=jnp.float32).reshape(h, w, c)
+    return jnp.einsum("jw,iwc->ijc", m, rows)
 
 
 def gaussian_kernel(sigma, radius):

@@ -141,6 +141,41 @@ def _tree_select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def metric_spec(hp):
+    """Static layout of the packed per-step metric vector. Packing all
+    diagnostics into ONE f32 array means the host fetches one buffer per
+    step instead of ~25 (each fetch is a full RTT on a tunneled TPU)."""
+    p, d = hp.n_part, hp.domain_num
+    return [
+        ("loss", 1), ("sup_loss", 1), ("unsup_loss_ul", 1),
+        ("unsup_loss_lu", 1), ("unsup_loss_s", 1),
+        ("consistency_weight", 1), ("mask_ratio", 1),
+        ("ratio_before_ensemble", 1), ("ratio_after_ensemble", 1),
+        ("ulb_dice", p), ("lq_dice", p), ("hardness_mean", 1),
+        ("cur_simple_num", 1), ("queue_count", 1), ("choice_th", 1),
+        ("lr", 1), ("cur_simple_dice", p), ("other_ulb_dice", p),
+        ("queue_dice", p), ("simple_dc_counts", d), ("simple_hardness", 1),
+    ]
+
+
+def pack_metrics(metrics, hp):
+    parts = []
+    for name, n in metric_spec(hp):
+        parts.append(jnp.asarray(metrics[name], jnp.float32).reshape(n))
+    return jnp.concatenate(parts)
+
+
+def unpack_metrics(vec, hp):
+    """vec: fetched numpy array -> dict of numpy scalars/vectors."""
+    import numpy as np
+    out = {}
+    i = 0
+    for name, n in metric_spec(hp):
+        out[name] = np.asarray(vec[i]) if n == 1 else np.asarray(vec[i:i + n])
+        i += n
+    return out
+
+
 def make_train_step(model, hp: HyperParams, mesh=None,
                     data_sharding=None, repl_sharding=None):
     """Build the jitted train step.
@@ -148,7 +183,13 @@ def make_train_step(model, hp: HyperParams, mesh=None,
     Returns step(state, batch) -> (state, metrics); batch holds raw uint8
     host arrays: lb_img (B,S,S,C), lb_lab (B,S,S,K), ulb_img, ulb_lab,
     lb_dc (B,), ulb_dc (B,).
+
+    With a mesh: batch arrays arrive sharded on axis 0 over "data", state
+    replicated; conv inputs are additionally constrained over "space" when
+    the mesh has a spatial axis (GSPMD inserts conv halo exchanges).
     """
+    from ust_run_tpu.parallel.mesh import spatial_constraint
+    constrain = spatial_constraint(mesh)
     tx = make_optimizer(hp.base_lr, hp.max_iterations)
     b_lb, b_ulb, q = hp.label_bs, hp.unlabel_bs, hp.queue_len
     s = hp.patch
@@ -211,7 +252,7 @@ def make_train_step(model, hp: HyperParams, mesh=None,
         # ------ teacher forwards, one 3-group call (train.py:643-647) -----
         ulb_x_w_ul = ulb_x_w * (1 - img_box) + mix_img * img_box
         ulb_x_w_lu = mix_img * (1 - img_box) + ulb_x_w * img_box
-        tea_in = jnp.concatenate([ulb_x_w, ulb_x_w_ul, ulb_x_w_lu])
+        tea_in = constrain(jnp.concatenate([ulb_x_w, ulb_x_w_ul, ulb_x_w_lu]))
         tea_logits, tea_upd = model.apply(
             {"params": state.ema_params,
              "batch_stats": state.ema_batch_stats},
@@ -270,8 +311,8 @@ def make_train_step(model, hp: HyperParams, mesh=None,
         # ------ student forwards + loss (train.py:668-674, 699-702,
         #         740, 816-838) -------------------------------------------
         def loss_fn(params):
-            stu_in = jnp.concatenate(
-                [ulb_x_w, lb_x_w, ulb_x_s_ul, ulb_x_s_lu, ulb_x_s])
+            stu_in = constrain(jnp.concatenate(
+                [ulb_x_w, lb_x_w, ulb_x_s_ul, ulb_x_s_lu, ulb_x_s]))
             logits_a, upd_a = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 stu_in, train=True, groups=5, mutable=["batch_stats"])
@@ -370,7 +411,7 @@ def make_train_step(model, hp: HyperParams, mesh=None,
             lq=new_lq,
             choice_th=new_th,
         )
-        return new_state, metrics
+        return new_state, pack_metrics(metrics, hp)
 
     def _as_pl(mask, hp_=hp):
         # labeled ground-truth masks double as pseudo-labels in the cut
