@@ -42,12 +42,28 @@ from ust_run_tpu.utils.meters import AverageMeter
 
 
 def build_model(cfg: TrainConfig, dtype=None):
+    """Model zoo dispatch. The reference trains `unet`
+    (networks/unet_model.py via train.py:496-506); the other families are
+    available for backbone-swap experiments (BASELINE.json configs)."""
     p = cfg.profile()
+    import jax.numpy as jnp
+    model_dtype = jnp.bfloat16 if (cfg.amp and dtype is None) else dtype
     if cfg.model == "unet":
-        import jax.numpy as jnp
-        model_dtype = jnp.bfloat16 if (cfg.amp and dtype is None) else dtype
         return UNet(n_channels=p.num_channels, n_classes=p.num_classes,
                     dtype=model_dtype)
+    if cfg.model == "unet2d":
+        from ust_run_tpu.models import Unet2D
+        return Unet2D(c=p.num_channels, num_classes=p.num_classes)
+    if cfg.model == "unet2d_dsbn":
+        from ust_run_tpu.models import Unet2D
+        return Unet2D(c=p.num_channels, num_classes=p.num_classes,
+                      norm="dsbn", num_domains=cfg.domain_num)
+    if cfg.model == "deeplabv2":
+        from ust_run_tpu.models import DeepLabV2
+        return DeepLabV2(backbone="resnet101", nclass=p.num_classes)
+    if cfg.model == "deeplabv2_r50":
+        from ust_run_tpu.models import DeepLabV2
+        return DeepLabV2(backbone="resnet50", nclass=p.num_classes)
     raise ValueError(f"unknown model {cfg.model!r}")
 
 

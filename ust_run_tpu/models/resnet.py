@@ -1,0 +1,98 @@
+"""Dilated ResNet backbone (reference networks/backbone/resnet.py).
+
+resnet50/101 with the last two stages converted to dilation (output
+stride 8), as used by the DeepLabV2 head. NHWC, GroupedBatchNorm,
+kaiming_normal(fan_out) conv init. The reference loads ImageNet weights
+from a local .pth (resnet.py:185-190); here `pretrained` is accepted for
+API parity and ignored with a warning (no torch checkpoints in this
+stack — load converted weights through flax serialization if needed).
+"""
+
+import logging
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ust_run_tpu.models.layers import GroupedBatchNorm
+from ust_run_tpu.models.unet2d import kaiming_normal_out
+
+
+def _conv(features, ksize, stride=1, dilation=1, name=None):
+    pad = dilation * (ksize // 2)
+    return nn.Conv(features, (ksize, ksize), strides=(stride, stride),
+                   padding=pad, use_bias=False,
+                   kernel_dilation=(dilation, dilation),
+                   kernel_init=kaiming_normal_out, param_dtype=jnp.float32,
+                   name=name)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        identity = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = nn.relu(GroupedBatchNorm(name="bn1")(out, train=train))
+        out = _conv(self.planes, 3, self.stride, self.dilation,
+                    name="conv2")(out)
+        out = nn.relu(GroupedBatchNorm(name="bn2")(out, train=train))
+        out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
+        out = GroupedBatchNorm(name="bn3")(out, train=train)
+        if self.downsample:
+            identity = _conv(self.planes * self.expansion, 1, self.stride,
+                             name="ds_conv")(x)
+            identity = GroupedBatchNorm(name="ds_bn")(identity, train=train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    layers: Sequence[int]
+    replace_stride_with_dilation: Sequence[bool] = (False, True, True)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=kaiming_normal_out,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        x = nn.relu(GroupedBatchNorm(name="bn1")(x, train=train))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        inflate = [False] + list(self.replace_stride_with_dilation)
+        dilation = 1
+        planes = [64, 128, 256, 512]
+        for stage, (p, n) in enumerate(zip(planes, self.layers)):
+            stride = 1 if stage == 0 else 2
+            prev_dilation = dilation
+            if inflate[stage]:
+                dilation *= stride
+                stride = 1
+            x = Bottleneck(p, stride, prev_dilation, downsample=True,
+                           name=f"layer{stage + 1}_0")(x, train=train)
+            for i in range(1, n):
+                x = Bottleneck(p, 1, dilation,
+                               name=f"layer{stage + 1}_{i}")(x, train=train)
+            feats.append(x)
+        return feats  # c1..c4 (resnet.py:173-183)
+
+
+def resnet50(pretrained=False):
+    if pretrained:
+        logging.warning("resnet50: ImageNet .pth weights are not bundled; "
+                        "initializing randomly (convert weights via "
+                        "flax.serialization to match the reference's "
+                        "pretrained path, resnet.py:185-190)")
+    return ResNet(layers=(3, 4, 6, 3))
+
+
+def resnet101(pretrained=False):
+    if pretrained:
+        logging.warning("resnet101: pretrained weights not bundled; "
+                        "random init")
+    return ResNet(layers=(3, 4, 23, 3))

@@ -119,6 +119,50 @@ def ce_plus_dice(logits, target, *, multilabel, n_classes, mask=None):
     return ce_term + dice_term
 
 
+def dice_loss_plain(score, target, smooth=1e-5):
+    """Unmasked soft dice with 1e-5 smoothing (losses.py:8-16 /
+    DiceLoss._dice_loss at :169-177)."""
+    score = score.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    inter = jnp.sum(score * target)
+    return 1.0 - (2.0 * inter + smooth) / (
+        jnp.sum(score * score) + jnp.sum(target * target) + smooth)
+
+
+def focal_loss(logits, target, gamma=2.0, alpha=None, size_average=True):
+    """Multi-class focal loss (reference FocalLoss, losses.py:119-153).
+
+    logits: (..., C); target: (...) int. alpha: None | scalar | (C,) list.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logpt = jnp.take_along_axis(
+        logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    pt = jnp.exp(logpt)
+    if alpha is not None:
+        if jnp.ndim(alpha) == 0:
+            alpha = jnp.asarray([alpha, 1 - alpha], jnp.float32)
+        at = jnp.take(jnp.asarray(alpha, jnp.float32), target)
+        logpt = logpt * at
+    loss = -((1 - pt) ** gamma) * logpt
+    return jnp.mean(loss) if size_average else jnp.sum(loss)
+
+
+def softmax_dice_loss(input_logits, target_logits):
+    """Per-class soft dice between two softmax outputs, averaged over
+    classes (losses.py:39-56)."""
+    a = jax.nn.softmax(input_logits, axis=-1)
+    b = jax.nn.softmax(target_logits, axis=-1)
+    n = input_logits.shape[-1]
+    total = 0.0
+    for c in range(n):
+        score = a[..., c]
+        target = b[..., c]
+        inter = jnp.sum(score * target)
+        total = total + 1.0 - (2 * inter + 1e-5) / (
+            jnp.sum(score) + jnp.sum(target) + 1e-5)
+    return total / n
+
+
 # ---------------------------------------------------------------------------
 # Auxiliary consistency losses (reference utils/losses.py:30-116, 271-295).
 # Provided for API completeness; the main algorithm uses CE+Dice only.
