@@ -25,9 +25,6 @@ def enable_compilation_cache():
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_comp"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        # hardware-accelerated PRNG: augmentation draws ~1M random values
-        # per step; threefry is the TPU bottleneck, rbg is not.
-        jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass
 

@@ -119,9 +119,17 @@ class TrainConfig:
     num_devices: Optional[int] = None   # cap the data-parallel mesh size
     eval_batch: int = 8                 # padded eval batch (ref uses bs=1)
     log_interval: int = 50              # host metric fetch cadence
+    profile_dir: Optional[str] = None   # jax.profiler trace output dir
+    patch_override: Optional[int] = None  # shrink patch size (smoke tests)
+    unroll_steps: int = 10              # train steps per device dispatch
 
     def profile(self) -> DatasetProfile:
-        return PROFILES[self.dataset]
+        p = PROFILES[self.dataset]
+        if self.patch_override:
+            p = dataclasses.replace(
+                p, patch_size=self.patch_override,
+                load_size=self.patch_override if p.load_size else None)
+        return p
 
     def resolve(self):
         """Apply the per-dataset overrides the reference performs inside
@@ -201,6 +209,14 @@ def build_parser(default_dataset="BUSI", mnms=False) -> argparse.ArgumentParser:
                         help="cap the data-parallel mesh size")
     parser.add_argument("--eval_batch", type=int, default=8)
     parser.add_argument("--log_interval", type=int, default=50)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 10-20 "
+                             "of the first epoch into this directory")
+    parser.add_argument("--patch_override", type=int, default=None,
+                        help="override the dataset patch size (smoke tests)")
+    parser.add_argument("--unroll_steps", type=int, default=10,
+                        help="train steps per device dispatch (lax.scan); "
+                             "amortizes host round-trips")
     return parser
 
 

@@ -107,14 +107,17 @@ def build_manifest(dataset: str, base_dir: str, phase: str,
 
 def _decode(dataset: str, ref: SampleRef, profile: DatasetProfile):
     """PIL decode + resize, reproducing each dataset's __getitem__ head
-    (dataloader.py:95-101, 222-231, 326-332, 417-433)."""
+    (dataloader.py:95-101, 222-231, 326-332, 417-433). Sizes come from the
+    profile (256 fundus/BUSI, 288 MNMS, native for prostate) so the
+    --patch_override smoke-test extension works uniformly."""
+    ls = profile.load_size
     if dataset == "fundus":
         img = Image.open(ref.image_path).convert("RGB").resize(
-            (256, 256), Image.LANCZOS)
+            (ls, ls), Image.LANCZOS)
         tgt = Image.open(ref.mask_paths[0])
         if tgt.mode == "RGB":
             tgt = tgt.convert("L")
-        tgt = tgt.resize((256, 256), Image.NEAREST)
+        tgt = tgt.resize((ls, ls), Image.NEAREST)
         img_np = np.asarray(img, np.uint8)
         tgt_np = np.asarray(tgt, np.uint8)[..., None]
     elif dataset == "prostate":
@@ -127,8 +130,8 @@ def _decode(dataset: str, ref: SampleRef, profile: DatasetProfile):
         img_np = np.asarray(img, np.uint8)[..., None]
         tgt_np = np.asarray(tgt, np.uint8)[..., None]
     elif dataset == "MNMS":
-        img = Image.open(ref.image_path).resize((288, 288), Image.BILINEAR)
-        tgt = Image.open(ref.mask_paths[0]).resize((288, 288), Image.NEAREST)
+        img = Image.open(ref.image_path).resize((ls, ls), Image.BILINEAR)
+        tgt = Image.open(ref.mask_paths[0]).resize((ls, ls), Image.NEAREST)
         if img.mode == "RGB":
             img = img.convert("L")
         img_np = np.asarray(img, np.uint8)
@@ -140,18 +143,18 @@ def _decode(dataset: str, ref: SampleRef, profile: DatasetProfile):
         tgt_np = tgt_np[..., :3]
     elif dataset == "BUSI":
         img = Image.open(ref.image_path).convert("L").resize(
-            (256, 256), Image.LANCZOS)
+            (ls, ls), Image.LANCZOS)
         img_np = np.asarray(img, np.uint8)[..., None]
         if len(ref.mask_paths) == 1:
             tgt = Image.open(ref.mask_paths[0]).convert("L").resize(
-                (256, 256), Image.NEAREST)
+                (ls, ls), Image.NEAREST)
         else:
             merged = None
             for mp in ref.mask_paths:
                 m = np.asarray(Image.open(mp).convert("L"), np.uint8)
                 merged = m if merged is None else np.maximum(merged, m)
             tgt = Image.fromarray(merged).convert("L").resize(
-                (256, 256), Image.NEAREST)
+                (ls, ls), Image.NEAREST)
         tgt_np = np.asarray(tgt, np.uint8)[..., None]
     else:
         raise ValueError(dataset)

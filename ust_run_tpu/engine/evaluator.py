@@ -27,9 +27,9 @@ import numpy as np
 
 from ust_run_tpu.ops import augment
 from ust_run_tpu.semisup.step import decode_mask
-from ust_run_tpu.utils import boundary
 from ust_run_tpu.utils import losses as L
 from ust_run_tpu.utils import metrics as M
+from ust_run_tpu.utils.boundary_native import boundary_metrics
 
 
 class Evaluator:
@@ -109,14 +109,15 @@ class Evaluator:
                         for i in range(np_):
                             p = pp[j, ..., i]
                             g = mp[j, ..., i]
-                            dom_dc[i] += boundary.dc(p, g)
-                            dom_jc[i] += boundary.jc(p, g)
+                            d, jcc, hd, asd_v = boundary_metrics(p, g)
+                            dom_dc[i] += d
+                            dom_jc[i] += jcc
                             if p.sum() < 1e-4:              # train.py:313
                                 dom_hd[i] += 100
                                 dom_asd[i] += 100
                             else:
-                                dom_hd[i] += boundary.hd95(p, g)
-                                dom_asd[i] += boundary.asd(p, g)
+                                dom_hd[i] += hd
+                                dom_asd[i] += asd_v
             dom_dice /= n
             dom_dc /= n
             dom_jc /= n

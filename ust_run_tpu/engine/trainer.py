@@ -106,7 +106,17 @@ class Trainer:
             shardings = dict(mesh=self.mesh,
                              data_sharding=batch_sharding(self.mesh),
                              repl_sharding=replicated_sharding(self.mesh))
-        self.step_fn = make_train_step(self.model, self.hp, **shardings)
+        # K steps per dispatch (lax.scan) amortizes host round-trips;
+        # fall back to single-step when K doesn't divide the epoch length.
+        self.unroll = cfg.unroll_steps \
+            if cfg.unroll_steps > 1 and \
+            cfg.num_eval_iter % cfg.unroll_steps == 0 else 1
+        if self.unroll > 1:
+            from ust_run_tpu.semisup.step import make_train_multi_step
+            self.step_fn = make_train_multi_step(self.model, self.hp,
+                                                 **shardings)
+        else:
+            self.step_fn = make_train_step(self.model, self.hp, **shardings)
         self.state = create_train_state(self.model, self.hp, cfg.seed)
         self.evaluator = Evaluator(self.model, self.hp, self.test_loaders,
                                    list(p.parts))
@@ -149,6 +159,11 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
         return batch, b["names"]
 
+    def _next_multi_batch(self):
+        """K host batches stacked on a leading scan axis."""
+        parts = [self._next_batch()[0] for _ in range(self.unroll)]
+        return {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+
     def train(self):
         cfg = self.cfg
         parts = list(self.profile_.parts)
@@ -169,17 +184,29 @@ class Trainer:
             pending = None   # (iter_num_of_metrics, metrics)
             t0 = time.time()
 
-            for i_batch in range(1, cfg.num_eval_iter + 1):
-                batch, _ = self._next_batch()
+            meters = (parts, avg_hardness, avg_dice, other_avg, all_avg,
+                      lq_avg, dc_record)
+            n_dispatch = cfg.num_eval_iter // self.unroll
+            for i_call in range(1, n_dispatch + 1):
+                # profiling subsystem (absent in the reference, SURVEY §5):
+                # capture a device trace early in the first epoch.
+                if cfg.profile_dir and epoch_num == self.start_epoch:
+                    if i_call == 2:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    elif i_call == 4:
+                        jax.profiler.stop_trace()
+                        logging.info("profiler trace written to %s",
+                                     cfg.profile_dir)
+                if self.unroll > 1:
+                    batch = self._next_multi_batch()
+                else:
+                    batch, _ = self._next_batch()
                 self.state, metrics = self.step_fn(self.state, batch)
-                iter_num += 1
                 if pending is not None:
-                    self._log_step(*pending, parts, avg_hardness, avg_dice,
-                                   other_avg, all_avg, lq_avg, dc_record)
-                pending = (iter_num, metrics)
-            # drain the last step's metrics
-            self._log_step(*pending, parts, avg_hardness, avg_dice,
-                           other_avg, all_avg, lq_avg, dc_record)
+                    self._drain(pending, meters)
+                pending = (iter_num + 1, metrics)
+                iter_num += self.unroll
+            self._drain(pending, meters)
             dt = time.time() - t0
             imgs = cfg.num_eval_iter * (cfg.label_bs + cfg.unlabel_bs)
             logging.info("epoch %d: %.1f it/s, %.1f images/s",
@@ -208,6 +235,16 @@ class Trainer:
         self.writer.close()
 
     # ------------------------------------------------------------------
+    def _drain(self, pending, meters):
+        """Fetch one dispatch's packed metrics (K rows for multi-step) and
+        feed the per-iteration logging path."""
+        it0, metrics = pending
+        arr = np.asarray(metrics)
+        if arr.ndim == 1:
+            arr = arr[None]
+        for j in range(arr.shape[0]):
+            self._log_step(it0 + j, arr[j], *meters)
+
     def _log_step(self, it, metrics, parts, avg_hardness, avg_dice,
                   other_avg, all_avg, lq_avg, dc_record):
         cfg = self.cfg

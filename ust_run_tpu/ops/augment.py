@@ -72,11 +72,12 @@ def gaussian_filter_constant(field, sigma):
     return jnp.dot(out, m.T, preferred_element_type=jnp.float32)
 
 
-def weak_augment_sample(key, img, mask, *, size, fillcolor):
+def weak_augment_sample(key, img, mask, dx, dy, *, size, fillcolor):
     """One sample through the composed weak chain.
 
-    img: (S,S,C) float32 in [0,255]; mask: (S,S,K) float32 label values.
-    Returns (img', mask') with the same shapes/dtypes.
+    img: (S,S,C) float32 in [0,255]; mask: (S,S,K) float32 label values;
+    dx/dy: pre-smoothed elastic displacement fields (S,S) (drawn at batch
+    level — see weak_augment_batch). Returns (img', mask').
     """
     s = size
     keys = jax.random.split(key, 10)
@@ -102,11 +103,6 @@ def weak_augment_sample(key, img, mask, *, size, fillcolor):
 
     # --- elastic_transform: p=0.5; displacement = gauss(U(-1,1)) * 2S ---
     do_el = _u(keys[8]) > 0.5
-    alpha = 2.0 * sf
-    sigma = 0.08 * s
-    f1, f2 = jax.random.split(keys[9])
-    dx = gaussian_filter_constant(_u(f1, -1.0, 1.0, (s, s)), sigma) * alpha
-    dy = gaussian_filter_constant(_u(f2, -1.0, 1.0, (s, s)), sigma) * alpha
     dx = jnp.where(do_el, dx, 0.0)
     dy = jnp.where(do_el, dy, 0.0)
 
@@ -191,11 +187,25 @@ def denormalize(img):
 
 @functools.partial(jax.jit, static_argnames=("size", "fillcolor"))
 def weak_augment_batch(key, imgs, masks, size, fillcolor):
-    keys = jax.random.split(key, imgs.shape[0])
+    """Batch weak augmentation. The elastic random fields are generated
+    for the whole batch in one shot (Pallas on-chip PRNG on TPU,
+    ops/pallas_rng.py) and smoothed as one batched banded matmul, then
+    each sample composes its own coordinate map."""
+    from ust_run_tpu.ops.pallas_rng import uniform_batch
+    n = imgs.shape[0]
+    k_fields, k_samples = jax.random.split(key)
+    raw = uniform_batch(k_fields, 2 * n, size) * 2.0 - 1.0
+    m = jnp.asarray(_gauss_band_matrix(size, 0.08 * size))
+    sm = jnp.einsum("ij,bjk->bik", m, raw, precision="highest")
+    sm = jnp.einsum("bik,lk->bil", sm, m, precision="highest")
+    alpha = 2.0 * size
+    dx = sm[:n] * alpha
+    dy = sm[n:] * alpha
+    keys = jax.random.split(k_samples, n)
     return jax.vmap(
-        lambda k, i, m: weak_augment_sample(k, i, m, size=size,
-                                            fillcolor=fillcolor)
-    )(keys, imgs, masks)
+        lambda k, i, ms, a, b: weak_augment_sample(
+            k, i, ms, a, b, size=size, fillcolor=fillcolor)
+    )(keys, imgs, masks, dx, dy)
 
 
 @functools.partial(jax.jit, static_argnames=("min_v", "max_v", "blur_radius"))

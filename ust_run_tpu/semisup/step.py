@@ -165,24 +165,30 @@ def pack_metrics(metrics, hp):
     return jnp.concatenate(parts)
 
 
+_VECTOR_METRICS = frozenset([
+    "ulb_dice", "lq_dice", "cur_simple_dice", "other_ulb_dice",
+    "queue_dice", "simple_dc_counts"])
+
+
 def unpack_metrics(vec, hp):
-    """vec: fetched numpy array -> dict of numpy scalars/vectors."""
+    """vec: fetched numpy array -> dict; per-part/per-domain metrics stay
+    1-D vectors (even when length 1), true scalars come back 0-d."""
     import numpy as np
     out = {}
     i = 0
     for name, n in metric_spec(hp):
-        out[name] = np.asarray(vec[i]) if n == 1 else np.asarray(vec[i:i + n])
+        if name in _VECTOR_METRICS:
+            out[name] = np.asarray(vec[i:i + n])
+        else:
+            out[name] = np.asarray(vec[i])
         i += n
     return out
 
 
-def make_train_step(model, hp: HyperParams, mesh=None,
-                    data_sharding=None, repl_sharding=None):
-    """Build the jitted train step.
-
-    Returns step(state, batch) -> (state, metrics); batch holds raw uint8
-    host arrays: lb_img (B,S,S,C), lb_lab (B,S,S,K), ulb_img, ulb_lab,
-    lb_dc (B,), ulb_dc (B,).
+def make_step_fn(model, hp: HyperParams, mesh=None):
+    """Build the PURE train-step function (state, batch) -> (state, packed
+    metrics); batch holds raw uint8 host arrays: lb_img (B,S,S,C), lb_lab
+    (B,S,S,K), ulb_img, ulb_lab, lb_dc (B,), ulb_dc (B,).
 
     With a mesh: batch arrays arrive sharded on axis 0 over "data", state
     replicated; conv inputs are additionally constrained over "space" when
@@ -499,10 +505,43 @@ def make_train_step(model, hp: HyperParams, mesh=None,
                         simple_hardness=simple_hardness)
         return new_queue, new_th, qmetrics
 
-    jit_kwargs = {}
+    return step_fn
+
+
+def _jit_kwargs(data_sharding, repl_sharding):
+    if data_sharding is None:
+        return {}
+    return dict(in_shardings=(repl_sharding, data_sharding),
+                out_shardings=(repl_sharding, repl_sharding))
+
+
+def make_train_step(model, hp: HyperParams, mesh=None,
+                    data_sharding=None, repl_sharding=None):
+    """Jitted single step: step(state, batch) -> (state, packed metrics)."""
+    step_fn = make_step_fn(model, hp, mesh)
+    return jax.jit(step_fn, donate_argnums=(0,),
+                   **_jit_kwargs(data_sharding, repl_sharding))
+
+
+def make_train_multi_step(model, hp: HyperParams, mesh=None,
+                          data_sharding=None, repl_sharding=None):
+    """K steps per dispatch via lax.scan.
+
+    On a tunneled/remote TPU every python->device call costs a full RTT;
+    scanning K host batches (stacked on a leading axis) through the step
+    amortizes dispatch and metric-fetch overhead by K. Returns
+    multi(state, batches) -> (state, metrics (K, M)).
+    """
+    step_fn = make_step_fn(model, hp, mesh)
+
+    def multi(state, batches):
+        return jax.lax.scan(step_fn, state, batches)
+
+    kwargs = {}
     if mesh is not None:
-        jit_kwargs = dict(
-            in_shardings=(repl_sharding, data_sharding),
-            out_shardings=(repl_sharding, repl_sharding),
-        )
-    return jax.jit(step_fn, donate_argnums=(0,), **jit_kwargs)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # batches are stacked (K, B, ...): shard the BATCH axis, not K
+        stacked = NamedSharding(mesh, P(None, "data"))
+        kwargs = dict(in_shardings=(repl_sharding, stacked),
+                      out_shardings=(repl_sharding, repl_sharding))
+    return jax.jit(multi, donate_argnums=(0,), **kwargs)
