@@ -10,6 +10,7 @@ instead of four sequential CPU interpolations.
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,27 +19,34 @@ def bilinear_gather(img, rows, cols):
     """Sample `img` (H,W,C) at fractional coordinates, bilinear, edge-clamped.
 
     rows/cols: float arrays of any matching shape -> output (*coords, C).
+
+    Implemented as ONE patch gather fetching 2x2xC slices per coordinate
+    (lax.gather with slice_sizes) instead of four independent 1-element
+    taps: TPU gather throughput is per-row, so 4x-wider rows are ~4x
+    faster (profiled: the tap gathers were the largest single cost of the
+    fused train step).
     """
-    h, w, _ = img.shape
-    r0 = jnp.floor(rows)
-    c0 = jnp.floor(cols)
-    fr = rows - r0
-    fc = cols - c0
-    r0 = jnp.clip(r0.astype(jnp.int32), 0, h - 1)
-    c0 = jnp.clip(c0.astype(jnp.int32), 0, w - 1)
-    r1 = jnp.clip(r0 + 1, 0, h - 1)
-    c1 = jnp.clip(c0 + 1, 0, w - 1)
-
-    flat = img.reshape(h * w, -1)
-
-    def tap(r, c):
-        return jnp.take(flat, r * w + c, axis=0)
-
-    fr = fr[..., None]
-    fc = fc[..., None]
-    top = tap(r0, c0) * (1 - fc) + tap(r0, c1) * fc
-    bot = tap(r1, c0) * (1 - fc) + tap(r1, c1) * fc
-    return top * (1 - fr) + bot * fr
+    h, w, c = img.shape
+    shape = rows.shape
+    r0 = jnp.clip(jnp.floor(rows), 0, h - 2)
+    c0 = jnp.clip(jnp.floor(cols), 0, w - 2)
+    # clipped fractions reproduce edge-clamp semantics for out-of-range
+    # coordinates (value saturates at the border pixel)
+    fr = jnp.clip(rows - r0, 0.0, 1.0).reshape(-1, 1)
+    fc = jnp.clip(cols - c0, 0.0, 1.0).reshape(-1, 1)
+    starts = jnp.stack([r0.reshape(-1), c0.reshape(-1)],
+                       axis=-1).astype(jnp.int32)
+    patches = jax.lax.gather(
+        img, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
+    top = patches[:, 0, 0] * (1 - fc) + patches[:, 0, 1] * fc
+    bot = patches[:, 1, 0] * (1 - fc) + patches[:, 1, 1] * fc
+    out = top * (1 - fr) + bot * fr
+    return out.reshape(*shape, c)
 
 
 def nearest_gather(img, rows, cols):
