@@ -3,7 +3,7 @@ import numpy as np
 from ust_run_tpu.models import UNet
 from ust_run_tpu.semisup import create_train_state
 from ust_run_tpu.semisup.step import make_train_multi_step, unpack_metrics
-from tests.test_train_step import fake_batch, tiny_hp
+from tests.test_train_step import fake_batch, fake_data, tiny_hp
 
 
 def test_multi_step_equals_k_steps():
@@ -15,7 +15,7 @@ def test_multi_step_equals_k_steps():
     batches = [fake_batch(hp, seed=s) for s in range(k)]
     stacked = {key: np.stack([b[key] for b in batches])
                for key in batches[0]}
-    new_state, metrics = multi(state, stacked)
+    new_state, metrics = multi(state, fake_data(hp), stacked)
     arr = np.asarray(metrics)
     assert arr.shape[0] == k
     assert int(new_state.step) == k

@@ -24,29 +24,32 @@ def tiny_hp(dataset="prostate", multilabel=False, n_part=1, num_classes=2,
         blur_radius=3)
 
 
-def fake_batch(hp, seed=0):
+def fake_data(hp, seed=0, n=6):
+    """HBM-resident corpus dict (the step gathers batches from it)."""
     rng = np.random.RandomState(seed)
-    k = 2 if hp.multilabel else (3 if hp.dataset == "MNMS" else 1)
     k = 1 if hp.dataset != "MNMS" else 3
 
     def lab(shape):
         if hp.dataset == "fundus":
             return rng.choice([0, 128, 255], shape).astype(np.uint8)
-        if hp.dataset == "prostate":
-            return rng.choice([0, 255], shape).astype(np.uint8)
-        if hp.dataset == "BUSI":
-            return rng.choice([0, 255], shape).astype(np.uint8)
         return rng.choice([0, 255], shape).astype(np.uint8)
 
     return {
-        "lb_img": rng.randint(0, 256, (hp.label_bs, 64, 64, hp.channels),
+        "lb_img": rng.randint(0, 256, (n, 64, 64, hp.channels)
                               ).astype(np.uint8),
-        "lb_lab": lab((hp.label_bs, 64, 64, k)),
-        "ulb_img": rng.randint(0, 256, (hp.unlabel_bs, 64, 64, hp.channels),
+        "lb_lab": lab((n, 64, 64, k)),
+        "ulb_img": rng.randint(0, 256, (n, 64, 64, hp.channels)
                                ).astype(np.uint8),
-        "ulb_lab": lab((hp.unlabel_bs, 64, 64, k)),
-        "lb_dc": np.full(hp.label_bs, 1, np.int32),
-        "ulb_dc": np.asarray([1, 2], np.int32),
+        "ulb_lab": lab((n, 64, 64, k)),
+        "ulb_dc": np.asarray([1, 2] * (n // 2), np.int32),
+    }
+
+
+def fake_batch(hp, seed=0, n=6):
+    rng = np.random.RandomState(100 + seed)
+    return {
+        "lb_idx": rng.randint(0, n, hp.label_bs).astype(np.int32),
+        "ulb_idx": rng.randint(0, n, hp.unlabel_bs).astype(np.int32),
     }
 
 
@@ -63,7 +66,7 @@ def test_step_runs_and_updates(prostate_setup):
     state = create_train_state(model, hp, seed=0)
     batch = fake_batch(hp)
     p0 = np.array(state.params["outc"]["kernel"])  # copy before donation
-    new_state, metrics = step(state, batch)
+    new_state, metrics = step(state, fake_data(hp), batch)
     metrics = unpack_metrics(np.asarray(metrics), hp)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
@@ -85,8 +88,8 @@ def test_multi_step_and_lq_branch(prostate_setup):
     hp, model, step = prostate_setup
     state = create_train_state(model, hp, seed=0)
     batch = fake_batch(hp)
-    s1, m1 = step(state, batch)
-    s2, m2 = step(s1, fake_batch(hp, seed=1))
+    s1, m1 = step(state, fake_data(hp), batch)
+    s2, m2 = step(s1, fake_data(hp), fake_batch(hp, seed=1))
     m1 = unpack_metrics(np.asarray(m1), hp)
     m2 = unpack_metrics(np.asarray(m2), hp)
     assert int(s2.step) == 2
@@ -101,7 +104,7 @@ def test_queue_fills_when_threshold_high(prostate_setup):
     # epoch 1 + generous threshold -> every sample is "simple"
     state = reset_epoch(state, 1)
     state = state.replace(choice_th=jnp.asarray(2.0, jnp.float32))
-    s, m = step(state, fake_batch(hp))
+    s, m = step(state, fake_data(hp), fake_batch(hp))
     m = unpack_metrics(np.asarray(m), hp)
     assert int(m["cur_simple_num"]) == hp.unlabel_bs
     assert int(m["queue_count"]) == hp.unlabel_bs
@@ -109,7 +112,7 @@ def test_queue_fills_when_threshold_high(prostate_setup):
     th = 2.0
     for i in range(3):
         s = s.replace(choice_th=jnp.asarray(th, jnp.float32))
-        s, m = step(s, fake_batch(hp, seed=i + 10))
+        s, m = step(s, fake_data(hp), fake_batch(hp, seed=i + 10))
     m = unpack_metrics(np.asarray(m), hp)
     assert int(m["queue_count"]) == hp.queue_len
     assert np.asarray(s.queue.valid).all()
@@ -120,7 +123,7 @@ def test_queue_fills_when_threshold_high(prostate_setup):
 def test_epoch_reset_invalidates_lq(prostate_setup):
     hp, model, step = prostate_setup
     state = create_train_state(model, hp, seed=0)
-    s, _ = step(state, fake_batch(hp))
+    s, _ = step(state, fake_data(hp), fake_batch(hp))
     assert bool(s.lq.valid)
     s = reset_epoch(s, 1)
     assert not bool(s.lq.valid)
@@ -132,7 +135,7 @@ def test_fundus_multilabel_variant():
     state = create_train_state(model, hp, seed=0)
     step = make_train_step(model, hp)
     batch = fake_batch(hp)
-    new_state, metrics = step(state, batch)
+    new_state, metrics = step(state, fake_data(hp), batch)
     metrics = unpack_metrics(np.asarray(metrics), hp)
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["ulb_dice"].shape == (2,)
@@ -145,8 +148,8 @@ def test_step_deterministic(prostate_setup):
     # donated buffers: rebuild state for each call
     s_a = create_train_state(model, hp, seed=0)
     s_b = create_train_state(model, hp, seed=0)
-    _, m1 = step(s_a, b)
-    _, m2 = step(s_b, b)
+    _, m1 = step(s_a, fake_data(hp), b)
+    _, m2 = step(s_b, fake_data(hp), b)
     m1 = unpack_metrics(np.asarray(m1), hp)
     m2 = unpack_metrics(np.asarray(m2), hp)
     assert float(m1["loss"]) == float(m2["loss"])

@@ -31,14 +31,19 @@ class BatchPipeline:
         self._order = self.rng.permutation(len(self.ds))
         self._pos = 0
 
-    def next(self):
+    def next_indices(self):
+        """Sampled indices only — the training path keeps the decoded
+        corpus resident in device HBM and ships just these."""
         if self._small:
-            idx = self.rng.randint(0, len(self.ds), self.bs)
-        else:
-            if self._order is None or self._pos + self.bs > len(self.ds):
-                self._reshuffle()
-            idx = self._order[self._pos:self._pos + self.bs]
-            self._pos += self.bs
+            return self.rng.randint(0, len(self.ds), self.bs)
+        if self._order is None or self._pos + self.bs > len(self.ds):
+            self._reshuffle()
+        idx = self._order[self._pos:self._pos + self.bs]
+        self._pos += self.bs
+        return np.asarray(idx)
+
+    def next(self):
+        idx = self.next_indices()
         return {
             "image": self.ds.images[idx],
             "label": self.ds.labels[idx],

@@ -32,7 +32,7 @@ from ust_run_tpu.engine import checkpoint as ckpt
 from ust_run_tpu.engine.evaluator import Evaluator
 from ust_run_tpu.models import UNet
 from ust_run_tpu.parallel import (batch_sharding, make_mesh,
-                                  replicated_sharding, shard_batch)
+                                  replicated_sharding)
 from ust_run_tpu.semisup import (HyperParams, create_train_state,
                                  make_train_step)
 from ust_run_tpu.semisup.state import reset_epoch
@@ -117,6 +117,20 @@ class Trainer:
                                                  **shardings)
         else:
             self.step_fn = make_train_step(self.model, self.hp, **shardings)
+
+        # ship the decoded corpus to device HBM ONCE; steps receive indices
+        corpus = {
+            "lb_img": self.lb_ds.images, "lb_lab": self.lb_ds.labels,
+            "ulb_img": self.ulb_ds.images, "ulb_lab": self.ulb_ds.labels,
+            "ulb_dc": self.ulb_ds.dc,
+        }
+        if self.mesh is not None:
+            sh = replicated_sharding(self.mesh)
+            self.device_data = {k: jax.device_put(v, sh)
+                                for k, v in corpus.items()}
+        else:
+            self.device_data = {k: jax.device_put(v)
+                                for k, v in corpus.items()}
         self.state = create_train_state(self.model, self.hp, cfg.seed)
         self.evaluator = Evaluator(self.model, self.hp, self.test_loaders,
                                    list(p.parts))
@@ -150,18 +164,12 @@ class Trainer:
             logging.info("Models restored from epoch %d", self.start_epoch)
 
     def _next_batch(self):
-        a = self.lb_pipe.next()
-        b = self.ulb_pipe.next()
-        batch = {"lb_img": a["image"], "lb_lab": a["label"],
-                 "ulb_img": b["image"], "ulb_lab": b["label"],
-                 "lb_dc": a["dc"], "ulb_dc": b["dc"]}
-        if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh)
-        return batch, b["names"]
+        return {"lb_idx": self.lb_pipe.next_indices().astype(np.int32),
+                "ulb_idx": self.ulb_pipe.next_indices().astype(np.int32)}
 
     def _next_multi_batch(self):
-        """K host batches stacked on a leading scan axis."""
-        parts = [self._next_batch()[0] for _ in range(self.unroll)]
+        """K index batches stacked on a leading scan axis."""
+        parts = [self._next_batch() for _ in range(self.unroll)]
         return {k: np.stack([p[k] for p in parts]) for k in parts[0]}
 
     def train(self):
@@ -181,11 +189,12 @@ class Trainer:
             all_avg = [AverageMeter() for _ in range(n_part)]
             lq_avg = [AverageMeter() for _ in range(n_part)]
             dc_record = np.zeros(cfg.domain_num)
-            pending = None   # (iter_num_of_metrics, metrics)
+            simple_ulb_name = {}
+            pending = None   # (first_iter, metrics, ulb_idx)
             t0 = time.time()
 
             meters = (parts, avg_hardness, avg_dice, other_avg, all_avg,
-                      lq_avg, dc_record)
+                      lq_avg, dc_record, simple_ulb_name)
             n_dispatch = cfg.num_eval_iter // self.unroll
             for i_call in range(1, n_dispatch + 1):
                 # profiling subsystem (absent in the reference, SURVEY §5):
@@ -200,11 +209,12 @@ class Trainer:
                 if self.unroll > 1:
                     batch = self._next_multi_batch()
                 else:
-                    batch, _ = self._next_batch()
-                self.state, metrics = self.step_fn(self.state, batch)
+                    batch = self._next_batch()
+                self.state, metrics = self.step_fn(self.state,
+                                                   self.device_data, batch)
                 if pending is not None:
                     self._drain(pending, meters)
-                pending = (iter_num + 1, metrics)
+                pending = (iter_num + 1, metrics, batch["ulb_idx"])
                 iter_num += self.unroll
             self._drain(pending, meters)
             dt = time.time() - t0
@@ -226,6 +236,8 @@ class Trainer:
                 logging.info("epoch lq ulb dice avg %s:%f", pn, lq_avg[i].avg)
             logging.info("epoch simple hardness avg:%f", avg_hardness.avg)
             logging.info("choice threshold:%f", float(self.state.choice_th))
+            logging.info(" ".join(f"{n} {c}"
+                                  for n, c in simple_ulb_name.items()))
             for i in range(cfg.domain_num):
                 logging.info("epoch simple domain %d cnt: %d", i + 1,
                              int(dc_record[i]))
@@ -238,15 +250,16 @@ class Trainer:
     def _drain(self, pending, meters):
         """Fetch one dispatch's packed metrics (K rows for multi-step) and
         feed the per-iteration logging path."""
-        it0, metrics = pending
+        it0, metrics, ulb_idx = pending
         arr = np.asarray(metrics)
         if arr.ndim == 1:
             arr = arr[None]
+            ulb_idx = ulb_idx[None]
         for j in range(arr.shape[0]):
-            self._log_step(it0 + j, arr[j], *meters)
+            self._log_step(it0 + j, arr[j], np.asarray(ulb_idx[j]), *meters)
 
-    def _log_step(self, it, metrics, parts, avg_hardness, avg_dice,
-                  other_avg, all_avg, lq_avg, dc_record):
+    def _log_step(self, it, metrics, ulb_idx, parts, avg_hardness, avg_dice,
+                  other_avg, all_avg, lq_avg, dc_record, simple_ulb_name):
         cfg = self.cfg
         m = unpack_metrics(np.asarray(metrics), self.hp)
         cur_n = int(m["cur_simple_num"])
@@ -255,6 +268,11 @@ class Trainer:
                 avg_dice[i].update(float(m["cur_simple_dice"][i]))
             avg_hardness.update(float(m["simple_hardness"]))
             dc_record += m["simple_dc_counts"]
+            # per-sample-name queue admission counts (train.py:788-794)
+            for i, flag in enumerate(m["simple_flags"]):
+                if flag > 0:
+                    name = self.ulb_ds.names[int(ulb_idx[i])]
+                    simple_ulb_name[name] = simple_ulb_name.get(name, 0) + 1
         if cur_n < cfg.unlabel_bs:
             for i in range(len(parts)):
                 other_avg[i].update(float(m["other_ulb_dice"][i]))

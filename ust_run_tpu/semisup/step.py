@@ -155,6 +155,7 @@ def metric_spec(hp):
         ("cur_simple_num", 1), ("queue_count", 1), ("choice_th", 1),
         ("lr", 1), ("cur_simple_dice", p), ("other_ulb_dice", p),
         ("queue_dice", p), ("simple_dc_counts", d), ("simple_hardness", 1),
+        ("simple_flags", hp.unlabel_bs),
     ]
 
 
@@ -167,7 +168,7 @@ def pack_metrics(metrics, hp):
 
 _VECTOR_METRICS = frozenset([
     "ulb_dice", "lq_dice", "cur_simple_dice", "other_ulb_dice",
-    "queue_dice", "simple_dc_counts"])
+    "queue_dice", "simple_dc_counts", "simple_flags"])
 
 
 def unpack_metrics(vec, hp):
@@ -186,24 +187,52 @@ def unpack_metrics(vec, hp):
 
 
 def make_step_fn(model, hp: HyperParams, mesh=None):
-    """Build the PURE train-step function (state, batch) -> (state, packed
-    metrics); batch holds raw uint8 host arrays: lb_img (B,S,S,C), lb_lab
-    (B,S,S,K), ulb_img, ulb_lab, lb_dc (B,), ulb_dc (B,).
+    """Build the PURE train-step function
+    (state, data, idx) -> (state, packed metrics).
 
-    With a mesh: batch arrays arrive sharded on axis 0 over "data", state
-    replicated; conv inputs are additionally constrained over "space" when
-    the mesh has a spatial axis (GSPMD inserts conv halo exchanges).
+    `data` is the ENTIRE decoded training corpus, resident in device HBM
+    (uint8: lb_img (N1,S,S,C), lb_lab (N1,S,S,K), lb_dc (N1,), ulb_*
+    likewise — a few hundred MB at most). `idx` carries just the sampled
+    indices {'lb_idx': (B,), 'ulb_idx': (B,)}. The host therefore ships a
+    handful of int32s per step instead of ~2MB of pixels — on a tunneled
+    TPU the pixel transfer would otherwise dominate the step (profiled:
+    ~36ms device compute vs ~130ms wall including infeed).
+
+    With a mesh: state/data replicated; batch tensors are constrained to
+    the "data" axis right after the on-device gather; conv inputs are
+    additionally constrained over "space" when the mesh has a spatial axis
+    (GSPMD inserts conv halo exchanges).
     """
     from ust_run_tpu.parallel.mesh import spatial_constraint
     constrain = spatial_constraint(mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        bsh = NamedSharding(mesh, P("data"))
+
+        def bconstrain(x):
+            return jax.lax.with_sharding_constraint(x, bsh)
+    else:
+        def bconstrain(x):
+            return x
     tx = make_optimizer(hp.base_lr, hp.max_iterations)
     b_lb, b_ulb, q = hp.label_bs, hp.unlabel_bs, hp.queue_len
     s = hp.patch
 
-    def step_fn(state, batch):
+    def step_fn(state, data, idx):
         rngs = jax.random.split(state.rng, 10)
         (rng_next, k_weak_lb, k_weak_ulb, k_strong, k_choice, k_fda, k_box,
          k_lq, k_perm, k_misc) = rngs
+
+        # ------ on-device batch assembly from the HBM-resident corpus ----
+        lb_idx = idx["lb_idx"]
+        ulb_idx = idx["ulb_idx"]
+        batch = {
+            "lb_img": bconstrain(data["lb_img"][lb_idx]),
+            "lb_lab": bconstrain(data["lb_lab"][lb_idx]),
+            "ulb_img": bconstrain(data["ulb_img"][ulb_idx]),
+            "ulb_lab": bconstrain(data["ulb_lab"][ulb_idx]),
+            "ulb_dc": data["ulb_dc"][ulb_idx],
+        }
 
         # ------ device-side augmentation (reference: DataLoader workers) --
         lb_img255, lb_lab = augment.weak_augment_batch(
@@ -399,6 +428,7 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
             lq_dice=jnp.mean(lq_dice, axis=1),
             hardness_mean=jnp.mean(hardness),
             cur_simple_num=jnp.sum(simple_idx.astype(jnp.int32)),
+            simple_flags=simple_idx.astype(jnp.float32),
             queue_count=new_queue.count,
             choice_th=new_th,
             lr=tx_lr(state.step, hp),
@@ -508,19 +538,22 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
     return step_fn
 
 
-def _jit_kwargs(data_sharding, repl_sharding):
-    if data_sharding is None:
+def _jit_kwargs(repl_sharding):
+    if repl_sharding is None:
         return {}
-    return dict(in_shardings=(repl_sharding, data_sharding),
+    # state, corpus and index batches are all replicated; the step itself
+    # constrains batch tensors onto the "data"/"space" axes.
+    return dict(in_shardings=(repl_sharding, repl_sharding, repl_sharding),
                 out_shardings=(repl_sharding, repl_sharding))
 
 
 def make_train_step(model, hp: HyperParams, mesh=None,
                     data_sharding=None, repl_sharding=None):
-    """Jitted single step: step(state, batch) -> (state, packed metrics)."""
+    """Jitted single step: step(state, data, idx) -> (state, metrics)."""
+    del data_sharding
     step_fn = make_step_fn(model, hp, mesh)
     return jax.jit(step_fn, donate_argnums=(0,),
-                   **_jit_kwargs(data_sharding, repl_sharding))
+                   **_jit_kwargs(repl_sharding))
 
 
 def make_train_multi_step(model, hp: HyperParams, mesh=None,
@@ -528,20 +561,14 @@ def make_train_multi_step(model, hp: HyperParams, mesh=None,
     """K steps per dispatch via lax.scan.
 
     On a tunneled/remote TPU every python->device call costs a full RTT;
-    scanning K host batches (stacked on a leading axis) through the step
+    scanning K index batches (stacked on a leading axis) through the step
     amortizes dispatch and metric-fetch overhead by K. Returns
-    multi(state, batches) -> (state, metrics (K, M)).
+    multi(state, data, idxs) -> (state, metrics (K, M)).
     """
+    del data_sharding
     step_fn = make_step_fn(model, hp, mesh)
 
-    def multi(state, batches):
-        return jax.lax.scan(step_fn, state, batches)
+    def multi(state, data, idxs):
+        return jax.lax.scan(lambda s, ix: step_fn(s, data, ix), state, idxs)
 
-    kwargs = {}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        # batches are stacked (K, B, ...): shard the BATCH axis, not K
-        stacked = NamedSharding(mesh, P(None, "data"))
-        kwargs = dict(in_shardings=(repl_sharding, stacked),
-                      out_shardings=(repl_sharding, repl_sharding))
-    return jax.jit(multi, donate_argnums=(0,), **kwargs)
+    return jax.jit(multi, donate_argnums=(0,), **_jit_kwargs(repl_sharding))
