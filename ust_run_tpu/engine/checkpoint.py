@@ -13,6 +13,7 @@ The .pth names are preserved so existing experiment tooling finds them.
 """
 
 import pickle
+import threading
 
 import jax
 import numpy as np
@@ -20,6 +21,36 @@ import numpy as np
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class AsyncCheckpointer:
+    """Fetch + serialize checkpoints off the training thread.
+
+    Fetching ~400MB of state to host costs tens of seconds on a tunneled
+    TPU; the reference blocks its loop on torch.save the same way
+    (train.py:955-958). Here the caller hands over device-side COPIES
+    (safe against donation by subsequent steps) and a worker thread
+    performs the host fetch + pickle while the next epoch trains.
+    """
+
+    def __init__(self):
+        self._thread = None
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def submit(self, fn, *args):
+        self.wait()
+        self._thread = threading.Thread(target=fn, args=args, daemon=True)
+        self._thread.start()
+
+
+def device_copy(tree):
+    """Fresh device buffers for every leaf (immune to later donation)."""
+    return jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                        tree)
 
 
 def save_checkpoint(path, state, epoch, best_avg_dice, best_avg_dice_iter,

@@ -149,6 +149,7 @@ class Trainer:
         self.stu_best_avg_dice_iter = -1
         self.stu_dice_of_best_avg = [0.0] * n_part
         self.start_epoch = 0
+        self._ckpt_io = ckpt.AsyncCheckpointer()
 
         if cfg.load:
             path = os.path.join(self.snapshot_path, "checkpoint.pth")
@@ -244,6 +245,7 @@ class Trainer:
 
             self._evaluate_and_checkpoint(epoch_num, iter_num, parts)
 
+        self._ckpt_io.wait()
         self.writer.close()
 
     # ------------------------------------------------------------------
@@ -343,15 +345,11 @@ class Trainer:
                 self.stu_best_dice_iter[i] = iter_num
             text += "stu_val_%s_best_dice: %f at %d iter, " % (
                 pn, self.stu_best_dice[i], self.stu_best_dice_iter[i])
-        if sum(stu_dice) / n_part > self.stu_best_avg_dice:
+        is_best = sum(stu_dice) / n_part > self.stu_best_avg_dice
+        if is_best:
             self.stu_best_avg_dice = sum(stu_dice) / n_part
             self.stu_best_avg_dice_iter = iter_num
             self.stu_dice_of_best_avg = list(stu_dice)
-            save_best = os.path.join(self.snapshot_path,
-                                     f"{cfg.model}_avg_dice_best_model.pth")
-            logging.info("save cur best avg model to %s", save_best)
-            ckpt.save_best_model(save_best, self.state.params,
-                                 self.state.batch_stats)
         text += "val_best_avg_dice: %f at %d iter" % (
             self.stu_best_avg_dice, self.stu_best_avg_dice_iter)
         if n_part > 1:
@@ -359,9 +357,22 @@ class Trainer:
                 text += ", %s_dice: %f" % (pn, self.stu_dice_of_best_avg[i])
         logging.info(text)
 
+        # checkpoint I/O runs on a worker thread against device-side copies
+        # so the next epoch's training overlaps the ~400MB host fetch
         path = os.path.join(self.snapshot_path, "checkpoint.pth")
-        ckpt.save_checkpoint(path, self.state, epoch_num + 1,
-                             self.best_avg_dice, self.best_avg_dice_iter,
-                             self.stu_best_avg_dice,
-                             self.stu_best_avg_dice_iter)
-        logging.info("save checkpoint to %s", path)
+        state_copy = ckpt.device_copy(self.state)
+        save_best = os.path.join(self.snapshot_path,
+                                 f"{cfg.model}_avg_dice_best_model.pth")
+
+        def _write(state_snap, best, bests):
+            if best:
+                logging.info("save cur best avg model to %s", save_best)
+                ckpt.save_best_model(save_best, state_snap.params,
+                                     state_snap.batch_stats)
+            ckpt.save_checkpoint(path, state_snap, epoch_num + 1, *bests)
+            logging.info("save checkpoint to %s", path)
+
+        self._ckpt_io.submit(
+            _write, state_copy, is_best,
+            (self.best_avg_dice, self.best_avg_dice_iter,
+             self.stu_best_avg_dice, self.stu_best_avg_dice_iter))
