@@ -16,7 +16,8 @@ def main():
     cfg, snapshot_path = bootstrap(args, __file__)
     trainer = Trainer(cfg, snapshot_path)
     if cfg.eval:
-        trainer._evaluate_and_checkpoint(-1, 0, list(cfg.profile().parts))
+        trainer._evaluate_and_checkpoint(-1, 0, list(cfg.profile().parts),
+                                         save=False)
         return
     trainer.train()
 

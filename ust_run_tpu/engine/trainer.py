@@ -309,7 +309,8 @@ class Trainer:
                              float(m["queue_dice"][i]))
 
     # ------------------------------------------------------------------
-    def _evaluate_and_checkpoint(self, epoch_num, iter_num, parts):
+    def _evaluate_and_checkpoint(self, epoch_num, iter_num, parts,
+                                 save=True):
         cfg = self.cfg
         n_part = len(parts)
         logging.info("test ema model")
@@ -357,6 +358,8 @@ class Trainer:
                 text += ", %s_dice: %f" % (pn, self.stu_dice_of_best_avg[i])
         logging.info(text)
 
+        if not save:     # --eval mode: report only, never touch artifacts
+            return
         # checkpoint I/O runs on a worker thread against device-side copies
         # so the next epoch's training overlaps the ~400MB host fetch
         path = os.path.join(self.snapshot_path, "checkpoint.pth")

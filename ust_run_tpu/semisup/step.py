@@ -235,12 +235,17 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
         }
 
         # ------ device-side augmentation (reference: DataLoader workers) --
-        lb_img255, lb_lab = augment.weak_augment_batch(
-            k_weak_lb, batch["lb_img"].astype(jnp.float32),
-            batch["lb_lab"].astype(jnp.float32), s, hp.fillcolor)
-        ulb_img255, ulb_lab = augment.weak_augment_batch(
-            k_weak_ulb, batch["ulb_img"].astype(jnp.float32),
-            batch["ulb_lab"].astype(jnp.float32), s, hp.fillcolor)
+        # one fused weak pass over [labeled; unlabeled] (one PRNG fill, one
+        # smoothing matmul, one patch gather)
+        del k_weak_ulb
+        all_img255, all_lab = augment.weak_augment_batch(
+            k_weak_lb,
+            jnp.concatenate([batch["lb_img"], batch["ulb_img"]]
+                            ).astype(jnp.float32),
+            jnp.concatenate([batch["lb_lab"], batch["ulb_lab"]]
+                            ).astype(jnp.float32), s, hp.fillcolor)
+        lb_img255, ulb_img255 = all_img255[:b_lb], all_img255[b_lb:]
+        lb_lab, ulb_lab = all_lab[:b_lb], all_lab[b_lb:]
         ulb_s255 = augment.strong_augment_batch(
             k_strong, ulb_img255, hp.min_v, hp.max_v, hp.blur_radius)
 
