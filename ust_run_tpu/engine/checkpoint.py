@@ -81,5 +81,19 @@ def save_best_model(path, params, batch_stats):
 
 
 def load_best_model(path):
+    """Load a best-model artifact.
+
+    Accepts both this framework's pickled pytrees and ORIGINAL reference
+    torch checkpoints (zip-serialized state_dicts) — the latter are
+    converted on the fly (utils/torch_import.py), so models trained with
+    the PyTorch reference evaluate here unchanged."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":  # torch zip serialization
+        from ust_run_tpu.utils.torch_import import load_torch_checkpoint
+        payload = load_torch_checkpoint(path)
+        if "student" in payload:
+            return payload["student"]
+        return payload
     with open(path, "rb") as f:
         return pickle.load(f)
