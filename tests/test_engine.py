@@ -11,6 +11,8 @@ from ust_run_tpu.data import synthetic
 from ust_run_tpu.engine import checkpoint as ckpt
 from ust_run_tpu.engine.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_run(tmp_path_factory):

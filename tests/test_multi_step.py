@@ -1,9 +1,12 @@
 import numpy as np
+import pytest
 
 from ust_run_tpu.models import UNet
 from ust_run_tpu.semisup import create_train_state
 from ust_run_tpu.semisup.step import make_train_multi_step, unpack_metrics
 from tests.test_train_step import fake_batch, fake_data, tiny_hp
+
+pytestmark = pytest.mark.slow
 
 
 def test_multi_step_equals_k_steps():

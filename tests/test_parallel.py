@@ -13,6 +13,37 @@ from ust_run_tpu.semisup import create_train_state, make_train_step
 from ust_run_tpu.semisup.step import unpack_metrics
 from tests.test_train_step import fake_batch, fake_data, tiny_hp
 
+pytestmark = pytest.mark.slow
+
+
+def test_make_mesh_validates_device_count():
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(len(jax.devices()) + 1)
+    with pytest.raises(ValueError, match="divisor"):
+        make_mesh(4, spatial=3)
+    with pytest.raises(ValueError, match="positive"):
+        make_mesh(0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_data_only_mesh_8x1_runs():
+    """The driver's dryrun shape: 8-way data-parallel, no spatial axis."""
+    import dataclasses
+    hp = dataclasses.replace(tiny_hp(), label_bs=4, unlabel_bs=4)
+    model = UNet(n_channels=hp.channels, n_classes=hp.num_classes)
+    mesh = make_mesh(8, spatial=1)
+    assert dict(mesh.shape) == {"data": 8, "space": 1}
+    repl = replicated_sharding(mesh)
+    stepm = make_train_step(model, hp, mesh=mesh,
+                            data_sharding=batch_sharding(mesh),
+                            repl_sharding=repl)
+    sm = jax.device_put(create_train_state(model, hp, seed=0), repl)
+    datam = jax.device_put(fake_data(hp), repl)
+    sm, mm = stepm(sm, datam, fake_batch(hp))
+    m = unpack_metrics(np.asarray(mm), hp)
+    assert np.isfinite(float(m["loss"]))
+    assert int(sm.step) == 1
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_step_matches_single_device():

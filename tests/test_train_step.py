@@ -11,6 +11,8 @@ from ust_run_tpu.semisup import (HyperParams, create_train_state,
 from ust_run_tpu.semisup.step import unpack_metrics
 from ust_run_tpu.semisup.state import reset_epoch
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_hp(dataset="prostate", multilabel=False, n_part=1, num_classes=2,
             channels=1):
@@ -153,3 +155,59 @@ def test_step_deterministic(prostate_setup):
     m1 = unpack_metrics(np.asarray(m1), hp)
     m2 = unpack_metrics(np.asarray(m2), hp)
     assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_lq_loss_flag_semantics():
+    """Pin the LQ-term gating (README parity notes).
+
+    Upstream, the LQ concat branch is dead (train.py:743 assigns
+    logits_ul_lq=None; the reassignment at :822-823 is inside the
+    `is not None` gate), so by default the term must NOT contribute.
+    With --lq_consistency it must contribute exactly from the first step
+    where the LQ carry is valid (step 2 onward).
+    """
+    import dataclasses
+
+    from ust_run_tpu.config import TrainConfig
+    from ust_run_tpu.semisup.step import HyperParams
+
+    # config default routes to reference-faithful behavior
+    assert HyperParams.from_config(
+        TrainConfig(dataset="prostate").resolve()).lq_loss is False
+
+    hp_off = tiny_hp()
+    hp_on = dataclasses.replace(hp_off, lq_loss=True)
+    assert hp_off.lq_loss is False
+    model = UNet(n_channels=hp_off.channels, n_classes=hp_off.num_classes)
+    step_off = make_train_step(model, hp_off)
+    step_on = make_train_step(model, hp_on)
+
+    data, b0, b1 = fake_data(hp_off), fake_batch(hp_off, 0), fake_batch(
+        hp_off, 1)
+    s_off = create_train_state(model, hp_off, seed=0)
+    s_on = create_train_state(model, hp_on, seed=0)
+
+    s_off, m_off1 = step_off(s_off, data, b0)
+    s_on, m_on1 = step_on(s_on, data, b0)
+    m_off1 = unpack_metrics(np.asarray(m_off1), hp_off)
+    m_on1 = unpack_metrics(np.asarray(m_on1), hp_on)
+    # step 1: LQ carry invalid in both -> identical losses (tight
+    # tolerance: the two programs compile separately)
+    assert np.isclose(float(m_off1["loss"]), float(m_on1["loss"]),
+                      rtol=1e-6, atol=0)
+    assert np.isclose(float(m_off1["unsup_loss_ul"]),
+                      float(m_on1["unsup_loss_ul"]), rtol=1e-6, atol=0)
+
+    s_off, m_off2 = step_off(s_off, data, b1)
+    s_on, m_on2 = step_on(s_on, data, b1)
+    m_off2 = unpack_metrics(np.asarray(m_off2), hp_off)
+    m_on2 = unpack_metrics(np.asarray(m_on2), hp_on)
+    # step 2: carry valid; only the ul term (and the total) may move,
+    # and it must actually move — the flag is load-bearing.
+    assert not np.isclose(float(m_off2["unsup_loss_ul"]),
+                          float(m_on2["unsup_loss_ul"]), rtol=1e-6, atol=0)
+    # teacher-side quantities are independent of the student loss form
+    np.testing.assert_allclose(m_off2["ulb_dice"], m_on2["ulb_dice"],
+                               rtol=1e-5)
+    assert np.isclose(float(m_off2["mask_ratio"]),
+                      float(m_on2["mask_ratio"]), rtol=1e-6, atol=0)

@@ -12,6 +12,8 @@ Format: numpy pytrees pickled with a manifest — self-contained, no torch.
 The .pth names are preserved so existing experiment tooling finds them.
 """
 
+import atexit
+import os
 import pickle
 import threading
 
@@ -21,6 +23,18 @@ import numpy as np
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _atomic_pickle(path, payload):
+    """Serialize to a sibling temp file, fsync, then os.replace() into
+    place — a crash or interpreter exit mid-write can never truncate the
+    only resume artifact."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 class AsyncCheckpointer:
@@ -35,6 +49,7 @@ class AsyncCheckpointer:
 
     def __init__(self):
         self._thread = None
+        atexit.register(self.wait)  # in-flight saves complete at exit
 
     def wait(self):
         if self._thread is not None:
@@ -43,7 +58,7 @@ class AsyncCheckpointer:
 
     def submit(self, fn, *args):
         self.wait()
-        self._thread = threading.Thread(target=fn, args=args, daemon=True)
+        self._thread = threading.Thread(target=fn, args=args)
         self._thread.start()
 
 
@@ -63,8 +78,7 @@ def save_checkpoint(path, state, epoch, best_avg_dice, best_avg_dice_iter,
         "stu_best_dice": stu_best_avg_dice,
         "stu_best_iter": stu_best_avg_dice_iter,
     }
-    with open(path, "wb") as f:
-        pickle.dump(payload, f, protocol=4)
+    _atomic_pickle(path, payload)
 
 
 def load_checkpoint(path):
@@ -75,9 +89,31 @@ def load_checkpoint(path):
 
 def save_best_model(path, params, batch_stats):
     """Student-only snapshot (train.py:946-949)."""
-    with open(path, "wb") as f:
-        pickle.dump({"params": _to_numpy(params),
-                     "batch_stats": _to_numpy(batch_stats)}, f, protocol=4)
+    _atomic_pickle(path, {"params": _to_numpy(params),
+                          "batch_stats": _to_numpy(batch_stats)})
+
+
+def restore_onto(live_state, payload_state):
+    """Map a checkpoint payload onto the live train state with a real
+    error message instead of a cryptic tree-structure failure when the
+    checkpoint was produced by a different --model / patch size."""
+    live_leaves, live_def = jax.tree.flatten(live_state)
+    ck_leaves, ck_def = jax.tree.flatten(payload_state)
+    if live_def != ck_def:
+        raise ValueError(
+            "checkpoint is incompatible with the configured model: the "
+            "saved state tree does not match the live train state "
+            f"({len(ck_leaves)} vs {len(live_leaves)} leaves). It was "
+            "likely produced with a different --model or dataset profile.")
+    for lv, cv in zip(live_leaves, ck_leaves):
+        ls = tuple(getattr(lv, "shape", ()))
+        cs = tuple(getattr(cv, "shape", ()))
+        if ls != cs:
+            raise ValueError(
+                "checkpoint is incompatible with the configured model: a "
+                f"saved array has shape {cs} where the live state expects "
+                f"{ls} (different --model, patch size, or channel count).")
+    return jax.tree.unflatten(live_def, ck_leaves)
 
 
 def load_best_model(path):

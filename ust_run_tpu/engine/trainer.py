@@ -154,9 +154,10 @@ class Trainer:
         if cfg.load:
             path = os.path.join(self.snapshot_path, "checkpoint.pth")
             payload = ckpt.load_checkpoint(path)
+            restored = ckpt.restore_onto(self.state, payload["state"])
             self.state = jax.tree.map(
                 lambda t, v: jax.numpy.asarray(v).astype(t.dtype),
-                self.state, payload["state"])
+                self.state, restored)
             self.start_epoch = payload["epoch"]
             self.best_avg_dice = payload["best_dice"]
             self.best_avg_dice_iter = payload["best_iter"]

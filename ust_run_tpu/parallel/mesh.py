@@ -29,8 +29,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None, spatial: int = 1) -> Mesh:
     devs = jax.devices()
-    n = num_devices or len(devs)
-    assert n % spatial == 0, (n, spatial)
+    n = len(devs) if num_devices is None else num_devices
+    if n <= 0:
+        raise ValueError(f"num_devices must be positive, got {n}")
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} device(s) "
+            f"are visible ({[str(d) for d in devs[:4]]}...). Lower "
+            "--num_devices or launch with more chips.")
+    if spatial <= 0 or n % spatial != 0:
+        raise ValueError(
+            f"spatial axis size {spatial} must be a positive divisor of "
+            f"the mesh size {n}")
     arr = np.asarray(devs[:n]).reshape(n // spatial, spatial)
     return Mesh(arr, ("data", "space"))
 

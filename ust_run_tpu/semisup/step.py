@@ -52,6 +52,15 @@ class HyperParams:
     max_v: float
     fillcolor: int
     blur_radius: int
+    # Include the LQ sample in the unsup_ul loss. In the reference this
+    # branch is DEAD CODE: `logits_ul_lq` is assigned None once
+    # (train.py:743) and the reassignment that would arm it sits inside
+    # the `if logits_ul_lq is not None:` gate (train.py:822-823), which
+    # therefore never fires. Only the BN side-effect of model(lq_s)
+    # (train.py:741) reaches the trained model. Default False =
+    # reference-faithful; True applies the term (the paper's apparent
+    # intent) as an explicit opt-in.
+    lq_loss: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -67,7 +76,8 @@ class HyperParams:
             max_iterations=cfg.max_iterations, ema_decay=cfg.ema_decay,
             base_lr=cfg.base_lr, min_v=p.min_v, max_v=p.max_v,
             fillcolor=p.fillcolor,
-            blur_radius=augment.blur_radius_for(p.patch_size))
+            blur_radius=augment.blur_radius_for(p.patch_size),
+            lq_loss=getattr(cfg, "lq_consistency", False))
 
 
 def decode_mask(labels, dataset):
@@ -367,17 +377,26 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
             sup_loss = L.ce_plus_dice(logits_lb, lb_mask,
                                       multilabel=hp.multilabel,
                                       n_classes=hp.num_classes)
-            # unsup_ul: with the LQ sample concatenated when valid
-            # (train.py:822-830) — the CE mean denominator includes it.
-            ul_with = L.ce_plus_dice(
-                jnp.concatenate([logits_ul, logits_lq]),
-                jnp.concatenate([pseudo_label_ul, pseudo_label_lq]),
-                multilabel=hp.multilabel, n_classes=hp.num_classes,
-                mask=jnp.concatenate([mask_ul, mask_lq]))
             ul_without = L.ce_plus_dice(
                 logits_ul, pseudo_label_ul, multilabel=hp.multilabel,
                 n_classes=hp.num_classes, mask=mask_ul)
-            unsup_ul = jnp.where(lq.valid, ul_with, ul_without)
+            if hp.lq_loss:
+                # opt-in: LQ sample concatenated into unsup_ul when valid
+                # (the branch at train.py:822-830 as written; dead upstream
+                # — see HyperParams.lq_loss). The CE mean denominator
+                # includes the extra sample, matching the torch.cat form.
+                ul_with = L.ce_plus_dice(
+                    jnp.concatenate([logits_ul, logits_lq]),
+                    jnp.concatenate([pseudo_label_ul, pseudo_label_lq]),
+                    multilabel=hp.multilabel, n_classes=hp.num_classes,
+                    mask=jnp.concatenate([mask_ul, mask_lq]))
+                unsup_ul = jnp.where(lq.valid, ul_with, ul_without)
+            else:
+                # reference-faithful: only the BN side-effect of the
+                # model(lq_s) forward (train.py:741) survives; the
+                # forward above still threads its batch_stats update.
+                del logits_lq
+                unsup_ul = ul_without
             unsup_lu = L.ce_plus_dice(
                 logits_lu, pseudo_label_lu, multilabel=hp.multilabel,
                 n_classes=hp.num_classes, mask=mask_lu)

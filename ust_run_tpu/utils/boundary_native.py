@@ -37,9 +37,12 @@ def _build_and_load():
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             os.makedirs(build_dir, exist_ok=True)
+            # no -march=native: the library is rebuilt-on-first-use but a
+            # stale _build/ may travel across machines (the exact SIGILL
+            # hazard XLA:CPU AOT shows on this fleet); portable codegen
+            # costs ~nothing for an EDT that is memory-bound anyway.
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", so, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.boundary_metrics.restype = ctypes.c_int
