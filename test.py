@@ -74,7 +74,13 @@ def main():
     payload = ckpt.load_best_model(best_path)
     params, batch_stats = payload["params"], payload["batch_stats"]
 
-    evaluator = Evaluator(model, hp, test_loaders, list(profile.parts))
+    import jax
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ust_run_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.num_devices)
+    evaluator = Evaluator(model, hp, test_loaders, list(profile.parts),
+                          mesh=mesh)
     evaluator.run(params, batch_stats, 1, writer=None, ema=True)
 
     if args.save_img:

@@ -65,18 +65,62 @@ def test_get_iou_and_dice():
 
 
 def test_functional_transforms():
-    img = Image.fromarray(np.random.RandomState(0).randint(
-        0, 255, (40, 60, 3), dtype=np.uint8))
-    mask = Image.fromarray(np.random.RandomState(1).randint(
-        0, 2, (40, 60), dtype=np.uint8) * 255)
-    ci, cm = transform.crop(img, mask, 64)  # pad-then-crop path
-    assert ci.size == (64, 64) and cm.size == (64, 64)
-    ri, rm = transform.resize(img, mask, (0.5, 2.0))
-    assert ri.size == rm.size
-    n_img, n_mask = transform.normalize(img, mask)
+    rng = np.random.default_rng(0)
+    img = np.random.RandomState(0).randint(
+        0, 255, (40, 60, 3), dtype=np.uint8)
+    mask = np.random.RandomState(1).randint(
+        0, 2, (40, 60), dtype=np.uint8) * 255
+    ci, cm = transform.random_crop(rng, img, mask, 64)  # pad-then-crop
+    assert ci.shape[:2] == (64, 64) and cm.shape == (64, 64)
+    ri, rm = transform.random_scale(rng, img, mask, (0.5, 2.0))
+    assert ri.shape[:2] == rm.shape
+    n_img = transform.imagenet_normalize(img)
     assert n_img.shape == (3, 40, 60)       # CHW
-    assert n_mask.dtype == np.int64
-    bi = transform.blur(img, p=1.0)
-    assert bi.size == img.size
-    co_i, co_m = transform.cutout(img, mask, p=1.0)
-    assert np.asarray(co_m).max() == 255
+    bi = transform.random_blur(rng, img, p=1.0)
+    assert bi.shape == img.shape
+    co_i, co_m = transform.random_cutout(rng, img, mask, p=1.0)
+    assert co_m.max() == 255
+
+
+def test_cross_entropy2d_matches_torch():
+    """Vestigial 2-D CE (dataloaders/utils.py:128-144) vs the torch
+    definition it transcribes."""
+    import torch
+    import torch.nn as nn
+
+    from ust_run_tpu.data.dl_utils import cross_entropy2d
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 6, 5, 4).astype(np.float32)   # NHWC
+    target = rng.randint(0, 4, (2, 6, 5)).astype(np.int64)
+    target[0, 0, :2] = 255                              # ignored pixels
+
+    crit = nn.CrossEntropyLoss(ignore_index=255, reduction="sum")
+    t_loss = crit(torch.from_numpy(logits).permute(0, 3, 1, 2),
+                  torch.from_numpy(target)) / (6 * 5) / 2
+    ours = float(cross_entropy2d(logits, target))
+    assert np.isclose(ours, float(t_loss), rtol=1e-5)
+
+
+def test_contour_overlay_variants(tmp_path):
+    from ust_run_tpu.utils import visualize as V
+
+    img = np.zeros((16, 16), np.float32)
+    img[4:12, 4:12] = 1.0
+    pred = np.zeros((16, 16), np.uint8)
+    pred[5:10, 5:10] = 1
+    gt = np.zeros((16, 16), np.uint8)
+    gt[6:11, 6:11] = 1
+
+    canvas = np.zeros((16, 16, 3), np.uint8)
+    out = V.draw_contour(canvas, pred, (0, 255, 0))
+    assert (out == (0, 255, 0)).all(-1).any()           # contour drawn
+    assert not (out[7, 7] == (0, 255, 0)).all()         # interior clean
+
+    out2 = V.make_prediction(np.zeros((16, 16), np.uint8),
+                             (pred, (0, 255, 0)), (gt, (255, 0, 0)))
+    assert out2.shape == (16, 16, 3)
+
+    path = tmp_path / "c.png"
+    V.draw_contour_and_save(img, pred, gt, str(path))
+    assert path.exists()

@@ -1,0 +1,128 @@
+"""DeepLabV2 + dilated-ResNet parity against the reference torch modules
+(networks/deeplabv2.py, networks/backbone/{base,resnet}.py), plus the
+ImageNet-pretrained import path (VERDICT r1 items 5/7).
+
+The oracle is the reference's own DeepLabV2 instantiated on CPU with its
+real pretrained-load machinery: we save a (random-init) resnet50
+state_dict at the exact path BaseNet loads from
+(../../checkpoints/pretrained/resnet50.pth relative to cwd,
+resnet.py:185-190), then require our converted Flax model to reproduce
+the torch logits.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+
+def test_resize_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from ust_run_tpu.models.deeplab import resize_align_corners
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, 13, 3).astype(np.float32)
+    for h2, w2 in [(17, 29), (5, 7), (9, 13), (1, 4), (64, 64)]:
+        ours = np.asarray(resize_align_corners(x, h2, w2))
+        theirs = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(h2, w2),
+            mode="bilinear", align_corners=True
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"size {(h2, w2)}")
+
+
+@pytest.fixture(scope="module")
+def torch_deeplab50(tmp_path_factory):
+    """Reference DeepLabV2('resnet50') built through its REAL pretrained
+    path: a random resnet50 state_dict saved where resnet.py:185-190
+    loads it from, cwd pinned two levels below."""
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from networks.backbone.resnet import resnet50 as t_resnet50
+        from networks.deeplabv2 import DeepLabV2 as TorchDeepLabV2
+    finally:
+        sys.path.pop(0)
+
+    base = tmp_path_factory.mktemp("dl")
+    ckpt_dir = base / "checkpoints" / "pretrained"
+    ckpt_dir.mkdir(parents=True)
+    torch.manual_seed(0)
+    backbone_sd = t_resnet50(pretrained=False).state_dict()
+    torch.save(backbone_sd, ckpt_dir / "resnet50.pth")
+
+    rundir = base / "model" / "run"
+    rundir.mkdir(parents=True)
+    old_cwd = os.getcwd()
+    os.chdir(rundir)
+    try:
+        tmodel = TorchDeepLabV2("resnet50", 2)
+    finally:
+        os.chdir(old_cwd)
+    tmodel.eval()
+    return tmodel, backbone_sd, str(ckpt_dir / "resnet50.pth")
+
+
+def test_deeplab_forward_matches_reference(torch_deeplab50):
+    import torch
+
+    from ust_run_tpu.models import DeepLabV2
+    from ust_run_tpu.utils.torch_import import deeplab_from_torch_state_dict
+
+    tmodel, _, _ = torch_deeplab50
+    variables = deeplab_from_torch_state_dict(tmodel.state_dict(),
+                                              "resnet50")
+    fmodel = DeepLabV2(backbone="resnet50", nclass=2)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    t_out = t_out.permute(0, 2, 3, 1).numpy()
+    f_out = np.asarray(fmodel.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, x, train=False))
+    np.testing.assert_allclose(f_out, t_out, rtol=1e-3, atol=1e-3)
+
+
+def test_pretrained_backbone_overlay(torch_deeplab50):
+    """overlay_pretrained_backbone loads the reference's .pth layout:
+    backbone leaves take the ImageNet tensor values, the ASPP head keeps
+    its random init (base.py:10-12: backbone pretrained, head random)."""
+    import jax
+
+    from ust_run_tpu.models import DeepLabV2
+    from ust_run_tpu.utils.torch_import import (
+        overlay_pretrained_backbone, resnet_from_torch_state_dict)
+
+    _, backbone_sd, pth = torch_deeplab50
+    fmodel = DeepLabV2(backbone="resnet50", nclass=2)
+    init = fmodel.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 32, 32, 3), np.float32), train=False)
+    out = overlay_pretrained_backbone(
+        {"params": init["params"], "batch_stats": init["batch_stats"]},
+        pth, "resnet50")
+
+    want = resnet_from_torch_state_dict(backbone_sd, "resnet50")
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["backbone_net"]["conv1"]["kernel"]),
+        want["params"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(out["batch_stats"]["backbone_net"]["layer3_2"]["bn2"]
+                   ["mean"]),
+        want["batch_stats"]["layer3_2"]["bn2"]["mean"])
+    # head untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["aspp_6"]["kernel"]),
+        np.asarray(init["params"]["aspp_6"]["kernel"]))
+    # tree structure still matches the live model (usable as-is)
+    assert jax.tree.structure(out["params"]) == jax.tree.structure(
+        init["params"])

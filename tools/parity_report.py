@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Build the PARITY.md trajectory table from two training log.txt files
+(the unmodified reference run via tools/ref_cpu_launch.py, and this
+framework's run) produced on the SAME dataset with matched configs.
+
+Both logs share the reference's text shape: per-domain eval blocks
+"domain{d} epoch {e} : loss ..." followed by per-part
+"val_{part}_dice: x," lines, then a global block and best-tracking lines
+(train.py:326-394, 913-954). We extract, per eval point and model
+(ema/student), the cross-domain average dice per part.
+
+Usage:
+  python tools/parity_report.py ref_log.txt tpu_log.txt --iters-per-eval 25
+"""
+
+import argparse
+import re
+
+
+def parse_log(path, parts):
+    """Returns list of eval records: {model, point, dice: {part: avg}}.
+
+    Eval blocks arrive in pairs per eval point: first the EMA model, then
+    the student (train.py:913-933). Each block contains per-domain lines
+    then a global line; the global line is the per-domain average — we
+    read exactly that ("epoch %d : loss" without a domain prefix,
+    train.py:368-379)."""
+    records = []
+    model_cycle = ["ema", "stu"]
+    with open(path) as f:
+        text = f.read()
+    # strip timestamps "[HH:MM:SS.mmm] "
+    text = re.sub(r"^\[[0-9:.]+\] ", "", text, flags=re.M)
+    # global block: a line starting with "epoch N : loss : X" NOT preceded
+    # by "domainD " on the same line
+    blocks = re.finditer(
+        r"^epoch (\d+) : loss : ([\d.eE+-]+)\s*\n\s*((?:val_\w+_dice: "
+        r"[\d.eE+-]+,\s*)+)", text, flags=re.M)
+    for i, m in enumerate(blocks):
+        dice = dict(re.findall(r"val_(\w+)_dice: ([\d.eE+-]+),", m.group(3)))
+        records.append({
+            "model": model_cycle[i % 2],
+            "epoch": int(m.group(1)),
+            "loss": float(m.group(2)),
+            "dice": {p: float(dice[p]) for p in parts if p in dice},
+        })
+    return records
+
+
+def best_avg(records, model):
+    pts = [sum(r["dice"].values()) / max(len(r["dice"]), 1)
+           for r in records if r["model"] == model]
+    return max(pts) if pts else float("nan")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ref_log")
+    ap.add_argument("tpu_log")
+    ap.add_argument("--parts", default="cup,disc")
+    ap.add_argument("--iters-per-eval", type=int, default=25)
+    args = ap.parse_args()
+    parts = args.parts.split(",")
+
+    ref = parse_log(args.ref_log, parts)
+    tpu = parse_log(args.tpu_log, parts)
+
+    print("| iter | model | " + " | ".join(
+        f"ref {p} | tpu {p}" for p in parts) + " |")
+    print("|---|---|" + "---|" * (2 * len(parts)))
+    n = max(len(ref), len(tpu))
+    for i in range(n):
+        r = ref[i] if i < len(ref) else None
+        t = tpu[i] if i < len(tpu) else None
+        model = (r or t)["model"]
+        point = (i // 2 + 1) * args.iters_per_eval
+        cells = []
+        for p in parts:
+            cells.append(f"{r['dice'].get(p, float('nan')):.4f}"
+                         if r else "—")
+            cells.append(f"{t['dice'].get(p, float('nan')):.4f}"
+                         if t else "—")
+        print(f"| {point} | {model} | " + " | ".join(cells) + " |")
+    for model in ("ema", "stu"):
+        print(f"best avg dice ({model}): ref="
+              f"{best_avg(ref, model):.4f} tpu={best_avg(tpu, model):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,38 @@ def enable_compilation_cache():
         pass
 
 
+def maybe_init_distributed():
+    """Multi-host (DCN) initialization, env-gated (SURVEY sections 5/7.5).
+
+    Single-controller JAX needs one `jax.distributed.initialize()` call
+    per process before any backend use; afterwards the same mesh code
+    scales over ICI+DCN unchanged. Gated on UST_MULTIHOST=1 so
+    single-host runs (the reference's only topology, train.py:973) pay
+    nothing. On TPU pods `initialize()` auto-discovers the coordinator;
+    elsewhere set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID (+ optionally JAX_LOCAL_DEVICE_IDS).
+
+    Returns True when distributed mode was initialized."""
+    if os.environ.get("UST_MULTIHOST", "0") != "1":
+        return False
+    import jax
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    logging.info("jax.distributed initialized: process %d/%d, %d local / "
+                 "%d global devices", jax.process_index(),
+                 jax.process_count(), jax.local_device_count(),
+                 jax.device_count())
+    return True
+
+
 def bootstrap(args, script_path, require_fresh=True) -> tuple:
+    maybe_init_distributed()
     enable_compilation_cache()
     cfg = config_from_args(args).resolve()
     snapshot_path = os.path.join(cfg.model_root, cfg.dataset,

@@ -122,6 +122,10 @@ class TrainConfig:
     profile_dir: Optional[str] = None   # jax.profiler trace output dir
     patch_override: Optional[int] = None  # shrink patch size (smoke tests)
     unroll_steps: int = 10              # train steps per device dispatch
+    # ImageNet-pretrained backbone weights dir for the DeepLab configs;
+    # default mirrors the reference's hardcoded load path
+    # (networks/backbone/resnet.py:185-190). Expects <root>/<arch>.pth.
+    pretrained_root: str = "../../checkpoints/pretrained"
     # Apply the LQ consistency term. Upstream this branch is dead code
     # (train.py:743 vs :822 — see semisup.step.HyperParams.lq_loss);
     # False reproduces the reference objective exactly.
@@ -221,6 +225,10 @@ def build_parser(default_dataset="BUSI", mnms=False) -> argparse.ArgumentParser:
     parser.add_argument("--unroll_steps", type=int, default=10,
                         help="train steps per device dispatch (lax.scan); "
                              "amortizes host round-trips")
+    parser.add_argument("--pretrained_root", type=str,
+                        default="../../checkpoints/pretrained",
+                        help="dir holding ImageNet resnet50/101.pth for "
+                             "the DeepLab configs (resnet.py:185-190)")
     parser.add_argument("--lq_consistency", action="store_true",
                         help="apply the LQ consistency term (dead code "
                              "upstream, train.py:743 vs :822; off = "

@@ -62,6 +62,32 @@ def lr_poly(base_lr, iter_, max_iter, power):
     return base_lr * ((1 - float(iter_) / max_iter) ** power)
 
 
+def cross_entropy2d(logits, target, ignore_index=255, weight=None,
+                    size_average=True, batch_average=True):
+    """Vestigial 2-D CE (dataloaders/utils.py:128-144, reached from no
+    entry point): sum-reduced pixel CE with an ignore id, then optional
+    /HW and /N. logits: (N,H,W,C) array; target: (N,H,W) int."""
+    import jax.numpy as jnp
+    logits = jnp.asarray(logits)
+    target = jnp.asarray(target).astype(jnp.int32)
+    n, h, w, c = logits.shape
+    logp = jnp.log(jnp.clip(jnp.exp(
+        logits - jnp.max(logits, -1, keepdims=True)).sum(-1), 1e-30))
+    logp = jnp.take_along_axis(
+        logits, jnp.clip(target, 0, c - 1)[..., None], axis=-1
+    )[..., 0] - jnp.max(logits, -1) - logp
+    valid = target != ignore_index
+    if weight is not None:
+        wmap = jnp.asarray(weight)[jnp.clip(target, 0, c - 1)]
+        logp = logp * wmap
+    loss = -(logp * valid).sum()
+    if size_average:
+        loss = loss / (h * w)
+    if batch_average:
+        loss = loss / n
+    return loss
+
+
 def get_iou(pred, gt, n_classes):
     """Mean per-class IoU over a batch of class maps."""
     pred = np.asarray(pred)

@@ -6,11 +6,12 @@ but part of its surface): labeled = first `labeled_num` Cityscapes train
 images + all GTAV images; unlabeled = remaining Cityscapes train images;
 test = Cityscapes val list. GTAV label ids are remapped to the 19
 Cityscapes train ids; unlabeled samples get a strong view (color jitter /
-grayscale / blur).
+grayscale / blur). Built on the array-native transform library with an
+explicit per-dataset RNG. Exercised by tests/test_ssda.py against a
+synthetic Cityscapes/GTAV-layout fixture.
 """
 
 import os
-import random
 from glob import glob
 
 import numpy as np
@@ -23,83 +24,96 @@ ID_TO_TRAINID = {7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7,
                  28: 15, 31: 16, 32: 17, 33: 18}
 
 
-def _color_jitter(img, brightness=0.5, contrast=0.5, saturation=0.5,
-                  hue=0.25):
-    """PIL-side color jitter approximating torchvision ColorJitter."""
-    from PIL import ImageEnhance
-    img = ImageEnhance.Brightness(img).enhance(
-        1 + random.uniform(-brightness, brightness))
-    img = ImageEnhance.Contrast(img).enhance(
-        1 + random.uniform(-contrast, contrast))
-    img = ImageEnhance.Color(img).enhance(
-        1 + random.uniform(-saturation, saturation))
-    if hue > 0:
-        hsv = np.asarray(img.convert("HSV"), np.int16)
-        hsv[..., 0] = (hsv[..., 0] + int(random.uniform(-hue, hue) * 255)) \
-            % 256
-        img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
-    return img
+def _remap_gtav_ids(mask):
+    """GTAV raw ids -> the 19 Cityscapes train ids, rest ignored."""
+    lut = np.full(256, T.IGNORE_ID, np.float32)
+    for k, v in ID_TO_TRAINID.items():
+        lut[k] = v
+    return lut[mask.astype(np.uint8)]
+
+
+def _color_jitter(rng, img):
+    """HWC uint8 color jitter (brightness/contrast/saturation/hue) with
+    the torchvision ColorJitter(0.5, 0.5, 0.5, 0.25) ranges
+    (dataloader.py:534)."""
+    x = img.astype(np.float32)
+    x = x * (1 + rng.uniform(-0.5, 0.5))                    # brightness
+    x = (x - x.mean()) * (1 + rng.uniform(-0.5, 0.5)) + x.mean()  # contrast
+    gray = x.mean(axis=2, keepdims=True)
+    x = gray + (x - gray) * (1 + rng.uniform(-0.5, 0.5))    # saturation
+    x = np.clip(x, 0, 255).astype(np.uint8)
+    hue = rng.uniform(-0.25, 0.25)
+    if abs(hue) > 1e-3:
+        hsv = np.asarray(Image.fromarray(x).convert("HSV"), np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(hue * 255)) % 256
+        x = np.asarray(Image.fromarray(hsv.astype(np.uint8),
+                                       "HSV").convert("RGB"))
+    return x
 
 
 class SSDADataset:
-    def __init__(self, mode, labeled_num, root="/data/DataSets/", size=512):
+    def __init__(self, mode, labeled_num, root="/data/DataSets/", size=512,
+                 seed=0):
         self.root = root
         self.mode = mode
-        self.labeled_num = labeled_num
         self.size = size
+        self.rng = np.random.default_rng(seed)
         if mode == "labeled":
-            with open(os.path.join(root, "Cityscapes/train.list")) as f:
-                self.path = f.read().splitlines()[:labeled_num]
+            self.path = self._read_list("Cityscapes/train.list")[:labeled_num]
             self.path += sorted(glob(os.path.join(root, "GTAV/images/*.png")))
         elif mode == "unlabeled":
-            with open(os.path.join(root, "Cityscapes/train.list")) as f:
-                self.path = f.read().splitlines()[labeled_num:]
+            self.path = self._read_list("Cityscapes/train.list")[labeled_num:]
         elif mode == "test":
-            with open(os.path.join(root, "Cityscapes/val.list")) as f:
-                self.path = f.read().splitlines()
+            self.path = self._read_list("Cityscapes/val.list")
         else:
             raise ValueError(mode)
+
+    def _read_list(self, rel):
+        with open(os.path.join(self.root, rel)) as f:
+            return f.read().splitlines()
 
     def __len__(self):
         return len(self.path)
 
-    def _open(self, entry):
+    def _load(self, entry):
+        """Decode one (image, raw mask) pair as HWC/HW uint8 arrays."""
         if "GTAV" in entry:
-            img = Image.open(entry)
-            mask = Image.open(entry.replace("images", "labels"))
+            img_p = entry
+            mask_p = entry.replace("images", "labels")
         else:
-            img_p, mask_p = entry.split(" ")
-            img = Image.open(os.path.join(self.root, "Cityscapes", img_p))
-            mask = Image.open(os.path.join(self.root, "Cityscapes", mask_p))
+            rel_img, rel_mask = entry.split(" ")
+            img_p = os.path.join(self.root, "Cityscapes", rel_img)
+            mask_p = os.path.join(self.root, "Cityscapes", rel_mask)
+        img = np.asarray(Image.open(img_p).convert("RGB"))
+        mask = np.asarray(Image.open(mask_p))
         return img, mask
 
     def __getitem__(self, item):
         entry = self.path[item]
         s = self.size
-        img, mask = self._open(entry)
+        img, mask = self._load(entry)
+        img = T.resample(img, (s, s))
+        mask = T.resample(mask, (s, s), nearest=True)
         if self.mode == "test":
-            img = img.resize((s, s), Image.BILINEAR)
-            mask = mask.resize((s, s), Image.NEAREST)
-            return (*T.normalize(img, mask), entry)
-        img = img.resize((s, s), Image.BILINEAR)
-        mask = mask.resize((s, s), Image.NEAREST)
-        img, mask = T.resize(img, mask, (0.5, 2.0))
-        img, mask = T.crop(img, mask, s)
-        img, mask = T.hflip(img, mask, p=0.5)
-        strong = img.copy()
-        mask = np.asarray(mask)
+            return (T.imagenet_normalize(img), mask.astype(np.int64),
+                    entry)
+
+        rng = self.rng
+        img, mask = T.random_scale(rng, img, mask, (0.5, 2.0))
+        img, mask = T.random_crop(rng, img, mask, s)
+        img, mask = T.random_hflip(rng, img, mask, p=0.5)
+        strong = img
         if "GTAV" in entry:
-            remapped = np.full(mask.shape, 255, np.float32)
-            for k, v in ID_TO_TRAINID.items():
-                remapped[mask == k] = v
-            mask = remapped
-        img, mask = T.normalize(img, mask)
+            mask = _remap_gtav_ids(mask)
         if self.mode == "labeled":
-            return img, mask, entry
-        if random.random() < 0.8:
-            strong = _color_jitter(strong)
-        if random.random() < 0.2:
-            strong = strong.convert("L").convert("RGB")
-        strong = T.blur(strong, p=0.5)
-        strong = T.normalize(strong)
-        return img, strong, mask, entry
+            return (T.imagenet_normalize(img), np.asarray(mask, np.int64),
+                    entry)
+        # unlabeled: weak view + strong view (dataloader.py:530-537)
+        if rng.random() < 0.8:
+            strong = _color_jitter(rng, strong)
+        if rng.random() < 0.2:
+            strong = np.repeat(strong.mean(axis=2, keepdims=True),
+                               3, axis=2).astype(np.uint8)
+        strong = T.random_blur(rng, strong, p=0.5)
+        return (T.imagenet_normalize(img), T.imagenet_normalize(strong),
+                np.asarray(mask, np.int64), entry)

@@ -12,14 +12,19 @@ test.py:64-195; MNMS variant train_mnms.py:253-388):
   * returns the per-part val dice list for best-model tracking.
 
 TPU-native differences: the forward runs jitted on fixed padded batches
-(the reference uses batch_size=1 host loops); dice is computed on device;
-only the boolean maps needed for boundary metrics are fetched to host.
-The reference's `domain_val_loss` is famously never accumulated
-(train.py:289 computes `loss_seg` into a dead variable) — we log the real
-mean loss instead.
+(the reference uses batch_size=1 host loops) and shards over the device
+mesh when one is provided — batch on the "data" axis, weights replicated;
+dice and the loss are computed on device, per sample, so padded tail
+batches contribute exactly (the reference's bs=1 loop semantics). Only
+the boolean maps needed for boundary metrics are fetched to host, and the
+host EDT work runs on a worker thread overlapped with the next batch's
+device forward (SURVEY section 7.6). The reference's `domain_val_loss` is
+famously never accumulated (train.py:289 computes `loss_seg` into a dead
+variable) — we log the real mean loss instead.
 """
 
 import logging
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -34,14 +39,25 @@ from ust_run_tpu.utils.boundary_native import boundary_metrics
 
 class Evaluator:
     def __init__(self, model, hp, test_loaders, parts,
-                 compute_boundary=True):
+                 compute_boundary=True, mesh=None):
         self.model = model
         self.hp = hp
         self.loaders = test_loaders
         self.parts = parts
         self.n_part = len(parts)
         self.compute_boundary = compute_boundary
-        self._fwd = jax.jit(self._forward)
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            batch = len(test_loaders[0].ds) and test_loaders[0].batch
+            if batch and batch % mesh.shape["data"] == 0:
+                bsh = NamedSharding(mesh, P("data"))
+            else:  # indivisible eval batch: replicate rather than fail
+                bsh = repl
+            jit_kwargs = dict(in_shardings=(repl, repl, bsh, bsh))
+        self._fwd = jax.jit(self._forward, **jit_kwargs)
 
     def _forward(self, params, batch_stats, img_u8, lab_u8):
         hp = self.hp
@@ -49,8 +65,13 @@ class Evaluator:
         logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=False)
         mask = decode_mask(lab_u8, hp.dataset)
-        loss = L.ce_plus_dice(logits, mask, multilabel=hp.multilabel,
-                              n_classes=hp.num_classes)
+        # per-sample loss (the reference evaluates with batch_size=1,
+        # train.py:289-290, so the per-domain mean is over samples; a
+        # batch-mean over a padded batch would weight the tail wrong)
+        loss = jax.vmap(
+            lambda lg, mk: L.ce_plus_dice(
+                lg[None], mk[None], multilabel=hp.multilabel,
+                n_classes=hp.num_classes))(logits, mask)
         if hp.multilabel:
             pred = (jax.nn.sigmoid(logits) >= 0.5)          # train.py:293
             dice = M.dice_per_part_jax(pred, mask, self.n_part)
@@ -69,6 +90,29 @@ class Evaluator:
                 mask_parts = jnp.stack(
                     [mask == c for c in range(1, self.n_part + 1)], axis=-1)
         return dice, loss, pred_parts, mask_parts
+
+    def _boundary_task(self, pred_parts, mask_parts, valid):
+        """Host-side EDT metrics for one batch; runs on the worker thread
+        (the ctypes call releases the GIL) while the main thread
+        dispatches the next device forward."""
+        np_ = self.n_part
+        pp = np.asarray(pred_parts)[valid]
+        mp = np.asarray(mask_parts)[valid]
+        acc = np.zeros((4, np_))
+        for j in range(pp.shape[0]):
+            for i in range(np_):
+                p = pp[j, ..., i]
+                g = mp[j, ..., i]
+                d, jcc, hd, asd_v = boundary_metrics(p, g)
+                acc[0, i] += d
+                acc[1, i] += jcc
+                if p.sum() < 1e-4:                          # train.py:313
+                    acc[2, i] += 100
+                    acc[3, i] += 100
+                else:
+                    acc[2, i] += hd
+                    acc[3, i] += asd_v
+        return acc
 
     def run(self, params, batch_stats, epoch, writer=None, ema=True):
         """Returns per-part val dice averaged over domains
@@ -93,6 +137,7 @@ class Evaluator:
             dom_asd = np.zeros(np_)
             dom_loss = 0.0
             n = 0
+            futures = []
             for batch in loader:
                 dice, loss, pred_parts, mask_parts = self._fwd(
                     params, batch_stats, batch["image"], batch["label"])
@@ -100,24 +145,17 @@ class Evaluator:
                 k = int(valid.sum())
                 dice = np.asarray(dice)[:, valid]           # (P, k)
                 dom_dice += dice.sum(axis=1)
-                dom_loss += float(loss) * k  # padded-batch approximation
+                dom_loss += float(np.asarray(loss)[valid].sum())  # exact
                 n += k
                 if self.compute_boundary:
-                    pp = np.asarray(pred_parts)[valid]
-                    mp = np.asarray(mask_parts)[valid]
-                    for j in range(k):
-                        for i in range(np_):
-                            p = pp[j, ..., i]
-                            g = mp[j, ..., i]
-                            d, jcc, hd, asd_v = boundary_metrics(p, g)
-                            dom_dc[i] += d
-                            dom_jc[i] += jcc
-                            if p.sum() < 1e-4:              # train.py:313
-                                dom_hd[i] += 100
-                                dom_asd[i] += 100
-                            else:
-                                dom_hd[i] += hd
-                                dom_asd[i] += asd_v
+                    futures.append(self._pool.submit(
+                        self._boundary_task, pred_parts, mask_parts, valid))
+            for f in futures:
+                acc = f.result()
+                dom_dc += acc[0]
+                dom_jc += acc[1]
+                dom_hd += acc[2]
+                dom_asd += acc[3]
             dom_dice /= n
             dom_dc /= n
             dom_jc /= n

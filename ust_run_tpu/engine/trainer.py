@@ -20,6 +20,7 @@ pipeline.
 
 import logging
 import os
+import sys
 import time
 
 import jax
@@ -132,8 +133,10 @@ class Trainer:
             self.device_data = {k: jax.device_put(v)
                                 for k, v in corpus.items()}
         self.state = create_train_state(self.model, self.hp, cfg.seed)
+        if cfg.model.startswith("deeplabv2"):
+            self.state = self._load_pretrained_backbone(cfg, self.state)
         self.evaluator = Evaluator(self.model, self.hp, self.test_loaders,
-                                   list(p.parts))
+                                   list(p.parts), mesh=self.mesh)
         self.writer = MetricWriter(os.path.join(snapshot_path, "log"))
 
         # best-dice bookkeeping (train.py:526-535)
@@ -164,6 +167,33 @@ class Trainer:
             self.stu_best_avg_dice = payload["stu_best_dice"]
             self.stu_best_avg_dice_iter = payload["stu_best_iter"]
             logging.info("Models restored from epoch %d", self.start_epoch)
+
+    @staticmethod
+    def _load_pretrained_backbone(cfg, state):
+        """ImageNet init for the DeepLab configs: the reference's BaseNet
+        constructor loads <pretrained_root>/<arch>.pth into the backbone
+        for BOTH the student and the fresh EMA model (base.py:10-12,
+        resnet.py:185-190, train.py:496-506). The head stays random."""
+        from ust_run_tpu.utils.torch_import import \
+            overlay_pretrained_backbone
+        arch = "resnet50" if cfg.model.endswith("r50") else "resnet101"
+        path = os.path.join(cfg.pretrained_root, f"{arch}.pth")
+        if not os.path.exists(path):
+            logging.warning(
+                "pretrained backbone %s not found; training from random "
+                "init (the reference would require this file, "
+                "resnet.py:185-190). Set --pretrained_root.", path)
+            return state
+        stu = overlay_pretrained_backbone(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            path, arch)
+        tea = overlay_pretrained_backbone(
+            {"params": state.ema_params,
+             "batch_stats": state.ema_batch_stats}, path, arch)
+        logging.info("loaded ImageNet backbone weights from %s", path)
+        return state.replace(
+            params=stu["params"], batch_stats=stu["batch_stats"],
+            ema_params=tea["params"], ema_batch_stats=tea["batch_stats"])
 
     def _next_batch(self):
         return {"lb_idx": self.lb_pipe.next_indices().astype(np.int32),
@@ -198,6 +228,16 @@ class Trainer:
             meters = (parts, avg_hardness, avg_dice, other_avg, all_avg,
                       lq_avg, dc_record, simple_ulb_name)
             n_dispatch = cfg.num_eval_iter // self.unroll
+            # tqdm-style live bar on interactive stdout (train.py:874-879);
+            # logs stay interval-based so log.txt is unchanged.
+            bar = None
+            if sys.stdout.isatty():
+                try:
+                    from tqdm import tqdm
+                    bar = tqdm(total=cfg.num_eval_iter, ncols=80,
+                               desc=f"epoch {epoch_num + 1}", leave=False)
+                except ImportError:
+                    pass
             for i_call in range(1, n_dispatch + 1):
                 # profiling subsystem (absent in the reference, SURVEY §5):
                 # capture a device trace early in the first epoch.
@@ -218,7 +258,11 @@ class Trainer:
                     self._drain(pending, meters)
                 pending = (iter_num + 1, metrics, batch["ulb_idx"])
                 iter_num += self.unroll
+                if bar is not None:
+                    bar.update(self.unroll)
             self._drain(pending, meters)
+            if bar is not None:
+                bar.close()
             dt = time.time() - t0
             imgs = cfg.num_eval_iter * (cfg.label_bs + cfg.unlabel_bs)
             logging.info("epoch %d: %.1f it/s, %.1f images/s",

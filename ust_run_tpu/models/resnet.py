@@ -8,8 +8,7 @@ API parity and ignored with a warning (no torch checkpoints in this
 stack — load converted weights through flax serialization if needed).
 """
 
-import logging
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,19 +34,22 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, groups: int = 1):
         identity = x
         out = _conv(self.planes, 1, name="conv1")(x)
-        out = nn.relu(GroupedBatchNorm(name="bn1")(out, train=train))
+        out = nn.relu(GroupedBatchNorm(name="bn1")(out, train=train,
+                                                   groups=groups))
         out = _conv(self.planes, 3, self.stride, self.dilation,
                     name="conv2")(out)
-        out = nn.relu(GroupedBatchNorm(name="bn2")(out, train=train))
+        out = nn.relu(GroupedBatchNorm(name="bn2")(out, train=train,
+                                                   groups=groups))
         out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
-        out = GroupedBatchNorm(name="bn3")(out, train=train)
+        out = GroupedBatchNorm(name="bn3")(out, train=train, groups=groups)
         if self.downsample:
             identity = _conv(self.planes * self.expansion, 1, self.stride,
                              name="ds_conv")(x)
-            identity = GroupedBatchNorm(name="ds_bn")(identity, train=train)
+            identity = GroupedBatchNorm(name="ds_bn")(identity, train=train,
+                                                      groups=groups)
         return nn.relu(out + identity)
 
 
@@ -56,11 +58,12 @@ class ResNet(nn.Module):
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, *, train: bool = True, groups: int = 1):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=kaiming_normal_out,
                     param_dtype=jnp.float32, name="conv1")(x)
-        x = nn.relu(GroupedBatchNorm(name="bn1")(x, train=train))
+        x = nn.relu(GroupedBatchNorm(name="bn1")(x, train=train,
+                                                 groups=groups))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = []
@@ -74,25 +77,25 @@ class ResNet(nn.Module):
                 dilation *= stride
                 stride = 1
             x = Bottleneck(p, stride, prev_dilation, downsample=True,
-                           name=f"layer{stage + 1}_0")(x, train=train)
+                           name=f"layer{stage + 1}_0")(x, train=train,
+                                                       groups=groups)
             for i in range(1, n):
                 x = Bottleneck(p, 1, dilation,
-                               name=f"layer{stage + 1}_{i}")(x, train=train)
+                               name=f"layer{stage + 1}_{i}")(
+                    x, train=train, groups=groups)
             feats.append(x)
         return feats  # c1..c4 (resnet.py:173-183)
 
 
 def resnet50(pretrained=False):
-    if pretrained:
-        logging.warning("resnet50: ImageNet .pth weights are not bundled; "
-                        "initializing randomly (convert weights via "
-                        "flax.serialization to match the reference's "
-                        "pretrained path, resnet.py:185-190)")
+    # Flax modules are weight-free; ImageNet weights are overlaid onto
+    # the initialized variables by Trainer._load_pretrained_backbone /
+    # utils.torch_import.overlay_pretrained_backbone (matching the
+    # reference's load at resnet.py:185-190).
+    del pretrained
     return ResNet(layers=(3, 4, 6, 3))
 
 
 def resnet101(pretrained=False):
-    if pretrained:
-        logging.warning("resnet101: pretrained weights not bundled; "
-                        "random init")
+    del pretrained
     return ResNet(layers=(3, 4, 23, 3))
