@@ -16,13 +16,30 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
 
 
+def checksummed(fn):
+    """Wrap fn to return a scalar checksum of its first output leaf.
+
+    On this tunneled platform jax.block_until_ready does NOT wait
+    (async dispatch, experimental plugin); the only reliable sync is a
+    host fetch. A scalar checksum makes that fetch one RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(*args):
+        out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        return jnp.sum(jnp.asarray(leaf, jnp.float32))
+    return jax.jit(wrapped)
+
+
 def timeit(fn, *args, n=20):
+    import numpy as np
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(np.asarray(out))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(np.asarray(out))          # device queue is serial: last done
     return (time.perf_counter() - t0) / n * 1000  # ms
 
 
@@ -60,21 +77,21 @@ if __name__ == "__main__":
 
     res = {}
 
-    weak = jax.jit(lambda k, i, l: augment.weak_augment_batch(
+    weak = checksummed(lambda k, i, l: augment.weak_augment_batch(
         k, i, l, s, hp.fillcolor))
     res["weak_aug_8img"] = timeit(weak, key, img8, lab8)
 
-    strong = jax.jit(lambda k, i: augment.strong_augment_batch(
+    strong = checksummed(lambda k, i: augment.strong_augment_batch(
         k, i, hp.min_v, hp.max_v, hp.blur_radius))
     res["strong_aug_4img"] = timeit(strong, key, img4)
 
-    fda_f = jax.jit(lambda k, a, b: fda.fda_batch(k, a, b, 0.5, hp.LB))
+    fda_f = checksummed(lambda k, a, b: fda.fda_batch(k, a, b, 0.5, hp.LB))
     res["fda_4img"] = timeit(fda_f, key, img4, img4)
 
-    box_f = jax.jit(lambda k: cutmix.cutmix_boxes(k, 4, s, 1.0))
+    box_f = checksummed(lambda k: cutmix.cutmix_boxes(k, 4, s, 1.0))
     res["cutmix_boxes"] = timeit(box_f, key)
 
-    tea = jax.jit(lambda p, bs, x: model.apply(
+    tea = checksummed(lambda p, bs, x: model.apply(
         {"params": p, "batch_stats": bs}, x, train=True, groups=3,
         mutable=["batch_stats"]))
     res["teacher_fwd_12img"] = timeit(tea, state.ema_params,
@@ -95,7 +112,8 @@ if __name__ == "__main__":
                                     mask=mask2)
         return total + 0.0 * jnp.sum(lg1)
 
-    grad_f = jax.jit(jax.value_and_grad(loss_fn))
+    grad_f0 = jax.jit(jax.value_and_grad(loss_fn))
+    grad_f = checksummed(jax.value_and_grad(loss_fn))
     res["student_grad_21img"] = timeit(grad_f, state.params,
                                        state.batch_stats, x20, x1)
 
@@ -108,8 +126,8 @@ if __name__ == "__main__":
         new_e = jax.tree.map(lambda e, p: 0.99 * e + 0.01 * p, ema, new_p)
         return new_p, new_e, new_opt
 
-    _, grads = grad_f(state.params, state.batch_stats, x20, x1)
-    upd_f = jax.jit(upd)
+    _, grads = grad_f0(state.params, state.batch_stats, x20, x1)
+    upd_f = checksummed(upd)
     res["optimizer_ema"] = timeit(upd_f, state.params, state.ema_params,
                                   grads, opt_state)
 
@@ -133,12 +151,12 @@ if __name__ == "__main__":
 
     st = state
     st, m = step(st, data, idx)
-    jax.block_until_ready(m)
+    np.asarray(m)
     t0 = time.perf_counter()
     n = 20
     for _ in range(n):
         st, m = step(st, data, idx)
-    jax.block_until_ready(m)
+    np.asarray(m)
     res["full_step"] = (time.perf_counter() - t0) / n * 1000
 
     res["stage_sum"] = sum(v for k, v in res.items()

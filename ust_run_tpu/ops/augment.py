@@ -75,9 +75,10 @@ def gaussian_filter_constant(field, sigma):
 def weak_augment_sample(key, img, mask, dx, dy, *, size, fillcolor):
     """One sample through the composed weak chain.
 
-    img: (S,S,C) float32 in [0,255]; mask: (S,S,K) float32 label values;
-    dx/dy: pre-smoothed elastic displacement fields (S,S) (drawn at batch
-    level — see weak_augment_batch). Returns (img', mask').
+    img: (S,S,C) uint8 or float32 in [0,255]; mask: (S,S,K) uint8 or
+    float32 label values (uint8 keeps the gathers 4x cheaper); dx/dy:
+    pre-smoothed elastic displacement fields (S,S) (drawn at batch
+    level — see weak_augment_batch). Returns float32 (img', mask').
     """
     s = size
     keys = jax.random.split(key, 10)
@@ -142,7 +143,7 @@ def weak_augment_sample(key, img, mask, dx, dy, *, size, fillcolor):
     img_out = jnp.where((el_oob | rot_oob)[..., None], 0.0, img_v)
     img_out = jnp.round(jnp.clip(img_out, 0.0, 255.0))
 
-    mask_v = nearest_gather(mask, sm_r, sm_c)
+    mask_v = nearest_gather(mask, sm_r, sm_c).astype(jnp.float32)
     mask_out = jnp.where(rot_oob_m[..., None], jnp.float32(fillcolor), mask_v)
     return img_out, mask_out
 
@@ -193,6 +194,10 @@ def weak_augment_batch(key, imgs, masks, size, fillcolor):
     each sample composes its own coordinate map."""
     from ust_run_tpu.ops.pallas_rng import uniform_batch
     n = imgs.shape[0]
+    # images gather in uint8 (4x less traffic; see bilinear_gather) but
+    # the 1-channel label take is FASTER in f32 than u8 on TPU (u8
+    # single-element rows hit the (4,1) packed tiling) — profiled.
+    masks = masks.astype(jnp.float32)
     k_fields, k_samples = jax.random.split(key)
     raw = uniform_batch(k_fields, 2 * n, size) * 2.0 - 1.0
     m = jnp.asarray(_gauss_band_matrix(size, 0.08 * size))

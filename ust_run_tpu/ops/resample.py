@@ -36,6 +36,10 @@ def bilinear_gather(img, rows, cols):
     fc = jnp.clip(cols - c0, 0.0, 1.0).reshape(-1, 1)
     starts = jnp.stack([r0.reshape(-1), c0.reshape(-1)],
                        axis=-1).astype(jnp.int32)
+    # gather in the SOURCE dtype (uint8 corpus images: 4x less gather
+    # traffic than pre-converted f32 — this gather is the single largest
+    # op of the fused train step); interpolation happens in f32 after, so
+    # results are bit-identical (uint8 -> f32 conversion is exact).
     patches = jax.lax.gather(
         img, starts,
         jax.lax.GatherDimensionNumbers(
@@ -43,6 +47,7 @@ def bilinear_gather(img, rows, cols):
             start_index_map=(0, 1)),
         slice_sizes=(2, 2, c),
         mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
+    patches = patches.astype(jnp.float32)
     top = patches[:, 0, 0] * (1 - fc) + patches[:, 0, 1] * fc
     bot = patches[:, 1, 0] * (1 - fc) + patches[:, 1, 1] * fc
     out = top * (1 - fr) + bot * fr

@@ -248,12 +248,14 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
         # one fused weak pass over [labeled; unlabeled] (one PRNG fill, one
         # smoothing matmul, one patch gather)
         del k_weak_ulb
+        # uint8 straight into the aug gathers (converted to f32 only at
+        # the interpolation step — identical values, 4x less gather
+        # traffic; see resample.bilinear_gather)
         all_img255, all_lab = augment.weak_augment_batch(
             k_weak_lb,
-            jnp.concatenate([batch["lb_img"], batch["ulb_img"]]
-                            ).astype(jnp.float32),
-            jnp.concatenate([batch["lb_lab"], batch["ulb_lab"]]
-                            ).astype(jnp.float32), s, hp.fillcolor)
+            jnp.concatenate([batch["lb_img"], batch["ulb_img"]]),
+            jnp.concatenate([batch["lb_lab"], batch["ulb_lab"]]),
+            s, hp.fillcolor)
         lb_img255, ulb_img255 = all_img255[:b_lb], all_img255[b_lb:]
         lb_lab, ulb_lab = all_lab[:b_lb], all_lab[b_lb:]
         ulb_s255 = augment.strong_augment_batch(
