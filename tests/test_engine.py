@@ -20,10 +20,13 @@ def tiny_run(tmp_path_factory):
     data_root = str(tmp_path_factory.mktemp("prost_data"))
     model_root = str(tmp_path_factory.mktemp("model"))
     synthetic.generate("prostate", data_root, n_train=6, n_test=2, size=64)
+    # amp=0: XLA:CPU emulates bf16 convolutions at glacial speed — the
+    # fp32 path is what every other CPU test exercises and is ~10x
+    # faster here; bf16 is covered on the real TPU by the verify drive.
     cfg = TrainConfig(dataset="prostate", save_name="t", lb_domain=1,
                       lb_num=4, data_root=data_root, model_root=model_root,
                       eval_batch=4, patch_override=64, num_eval_iter=2,
-                      unroll_steps=2, log_interval=1).resolve()
+                      unroll_steps=2, log_interval=1, amp=0).resolve()
     cfg.max_iterations = 4
     snapshot = os.path.join(model_root, "prostate", "t") + "/"
     os.makedirs(snapshot, exist_ok=True)

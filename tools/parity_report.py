@@ -81,9 +81,12 @@ def main():
             cells.append(f"{t['dice'].get(p, float('nan')):.4f}"
                          if t else "—")
         print(f"| {point} | {model} | " + " | ".join(cells) + " |")
+    k = min(len(ref), len(tpu))
     for model in ("ema", "stu"):
-        print(f"best avg dice ({model}): ref="
-              f"{best_avg(ref, model):.4f} tpu={best_avg(tpu, model):.4f}")
+        print(f"best avg dice ({model}), matched horizon: ref="
+              f"{best_avg(ref[:k], model):.4f} "
+              f"tpu={best_avg(tpu[:k], model):.4f}"
+              f"   (tpu full horizon: {best_avg(tpu, model):.4f})")
 
 
 if __name__ == "__main__":

@@ -48,9 +48,12 @@ def bilinear_gather(img, rows, cols):
         slice_sizes=(2, 2, c),
         mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
     patches = patches.astype(jnp.float32)
-    top = patches[:, 0, 0] * (1 - fc) + patches[:, 0, 1] * fc
-    bot = patches[:, 1, 0] * (1 - fc) + patches[:, 1, 1] * fc
-    out = top * (1 - fr) + bot * fr
+    # contract the 2x2 patch against the outer-product bilinear weights
+    # in one einsum (no strided patch slices -> no relayout copy)
+    wr = jnp.concatenate([1 - fr, fr], axis=1)            # (N, 2)
+    wc = jnp.concatenate([1 - fc, fc], axis=1)            # (N, 2)
+    w = wr[:, :, None] * wc[:, None, :]                   # (N, 2, 2)
+    out = jnp.einsum("npqc,npq->nc", patches, w)
     return out.reshape(*shape, c)
 
 
