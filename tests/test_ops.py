@@ -169,3 +169,26 @@ def test_all_cover_box():
     fb = np.asarray(cutmix.all_cover_box(jax.random.PRNGKey(1),
                                          jnp.asarray(empty)))
     assert fb.sum() > 0
+
+
+def test_weak_augment_uint8_equals_float32():
+    """The fused step feeds uint8 corpus pixels straight into the aug
+    gathers (4x less traffic); results must be bit-identical to the f32
+    path since conversion happens at the interpolation step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ust_run_tpu.ops.augment import weak_augment_batch
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(7)
+    img_u8 = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    lab_u8 = rng.choice([0, 128, 255], (4, 64, 64, 1)).astype(np.uint8)
+    out_u8 = weak_augment_batch(key, jnp.asarray(img_u8),
+                                jnp.asarray(lab_u8), 64, 255)
+    out_f32 = weak_augment_batch(key, jnp.asarray(img_u8, jnp.float32),
+                                 jnp.asarray(lab_u8, jnp.float32), 64, 255)
+    np.testing.assert_array_equal(np.asarray(out_u8[0]),
+                                  np.asarray(out_f32[0]))
+    np.testing.assert_array_equal(np.asarray(out_u8[1]),
+                                  np.asarray(out_f32[1]))
