@@ -71,7 +71,7 @@ def main():
     model = build_model(cfg)
     best_path = os.path.join(snapshot_path,
                              f"{cfg.model}_avg_dice_best_model.pth")
-    payload = ckpt.load_best_model(best_path)
+    payload = ckpt.load_best_model(best_path, model=cfg.model)
     params, batch_stats = payload["params"], payload["batch_stats"]
 
     import jax

@@ -126,3 +126,25 @@ def test_pretrained_backbone_overlay(torch_deeplab50):
     # tree structure still matches the live model (usable as-is)
     assert jax.tree.structure(out["params"]) == jax.tree.structure(
         init["params"])
+
+
+def test_load_best_model_torch_deeplab(torch_deeplab50, tmp_path):
+    """test.py's loader auto-detects torch serialization and converts
+    for the configured --model family (not just UNet)."""
+    import jax
+    import torch
+
+    from ust_run_tpu.engine.checkpoint import load_best_model
+    from ust_run_tpu.models import DeepLabV2
+
+    tmodel, _, _ = torch_deeplab50
+    path = tmp_path / "deeplabv2_r50_avg_dice_best_model.pth"
+    torch.save(tmodel.state_dict(), path)
+    payload = load_best_model(str(path), model="deeplabv2_r50")
+    fmodel = DeepLabV2(backbone="resnet50", nclass=2)
+    init = fmodel.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 32, 32, 3), np.float32), train=False)
+    assert jax.tree.structure(payload["params"]) == jax.tree.structure(
+        init["params"])
+    assert jax.tree.structure(payload["batch_stats"]) == \
+        jax.tree.structure(init["batch_stats"])

@@ -116,18 +116,19 @@ def restore_onto(live_state, payload_state):
     return jax.tree.unflatten(live_def, ck_leaves)
 
 
-def load_best_model(path):
+def load_best_model(path, model="unet"):
     """Load a best-model artifact.
 
     Accepts both this framework's pickled pytrees and ORIGINAL reference
     torch checkpoints (zip-serialized state_dicts) — the latter are
-    converted on the fly (utils/torch_import.py), so models trained with
-    the PyTorch reference evaluate here unchanged."""
+    converted on the fly (utils/torch_import.py) for the given model
+    family, so models trained with the PyTorch reference evaluate here
+    unchanged."""
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"PK":  # torch zip serialization
         from ust_run_tpu.utils.torch_import import load_torch_checkpoint
-        payload = load_torch_checkpoint(path)
+        payload = load_torch_checkpoint(path, model=model)
         if "student" in payload:
             return payload["student"]
         return payload
