@@ -11,6 +11,7 @@ Usage: python tools/multihost_cpu_demo.py
 """
 
 import os
+import re
 import subprocess
 import sys
 
@@ -55,9 +56,12 @@ def main():
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": (env.get("XLA_FLAGS", "")
-                          + " --xla_force_host_platform_device_count=4"
-                          ).strip(),
+            # strip any inherited device-count flag (e.g. from the
+            # test conftest) before pinning 4 per process
+            "XLA_FLAGS": (re.sub(
+                r"--xla_force_host_platform_device_count=\d+", "",
+                env.get("XLA_FLAGS", ""))
+                + " --xla_force_host_platform_device_count=4").strip(),
             "UST_MULTIHOST_WORKER": "1",
         })
         procs.append(subprocess.Popen(
