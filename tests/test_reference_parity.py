@@ -247,3 +247,57 @@ def test_dsbn_matches_reference_module():
         tref.bns[1].running_mean.numpy(), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"][0]),
                                0.0, atol=1e-7)
+
+
+def test_grouped_bn_unequal_groups_match_sequential_applies():
+    """The fused 6-group student call (5x B=4 + 1x B=1 LQ,
+    semisup/step.py) must reproduce the separate sequential forwards it
+    replaces (reference train.py:699-702, 740): identical normalized
+    outputs per group and identical running-stat folds, including the
+    group_valid=False case where the LQ forward 'never happened'."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ust_run_tpu.models.unet import UNet
+
+    rng = np.random.RandomState(3)
+    model = UNet(n_channels=3, n_classes=2)
+    x4a = jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32)
+    x4b = jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32)
+    x1 = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x4a, train=False)
+
+    # sequential: one 2-group call over [x4a; x4b], then a B=1 call
+    lg_ab, upd1 = model.apply(v, jnp.concatenate([x4a, x4b]), train=True,
+                              groups=2, mutable=["batch_stats"])
+    lg_c, upd2 = model.apply(
+        {"params": v["params"], "batch_stats": upd1["batch_stats"]},
+        x1, train=True, groups=1, mutable=["batch_stats"])
+
+    # fused with all groups valid
+    lg_f, updf = model.apply(
+        v, jnp.concatenate([x4a, x4b, x1]), train=True,
+        group_sizes=(4, 4, 1),
+        group_valid=jnp.asarray([True, True, True]),
+        mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(lg_f[:8]), np.asarray(lg_ab),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lg_f[8:]), np.asarray(lg_c),
+                               rtol=1e-4, atol=1e-5)
+    for (pa, sa), (pb, sb) in zip(
+            jax.tree_util.tree_leaves_with_path(upd2["batch_stats"]),
+            jax.tree_util.tree_leaves_with_path(updf["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(sa),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pa))
+
+    # fused with the LQ group invalid == the B=1 call never ran
+    _, updi = model.apply(
+        v, jnp.concatenate([x4a, x4b, x1]), train=True,
+        group_sizes=(4, 4, 1),
+        group_valid=jnp.asarray([True, True, False]),
+        mutable=["batch_stats"])
+    for (pa, sa), (pb, sb) in zip(
+            jax.tree_util.tree_leaves_with_path(upd1["batch_stats"]),
+            jax.tree_util.tree_leaves_with_path(updi["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(sa),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pa))

@@ -17,18 +17,22 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def checksummed(fn):
-    """Wrap fn to return a scalar checksum of its first output leaf.
+    """Wrap fn to return a scalar checksum over ALL output leaves.
 
     On this tunneled platform jax.block_until_ready does NOT wait
     (async dispatch, experimental plugin); the only reliable sync is a
-    host fetch. A scalar checksum makes that fetch one RTT."""
+    host fetch. A scalar checksum makes that fetch one RTT. Summing every
+    leaf (not just the first) keeps XLA from dead-code-eliminating the
+    outputs that don't feed the checksum — the r2 version summed only
+    leaf 0 of (loss, grads) and thus timed a forward pass labelled as a
+    gradient."""
     import jax
     import jax.numpy as jnp
 
     def wrapped(*args):
         out = fn(*args)
-        leaf = jax.tree.leaves(out)[0]
-        return jnp.sum(jnp.asarray(leaf, jnp.float32))
+        return sum(jnp.sum(jnp.asarray(leaf, jnp.float32))
+                   for leaf in jax.tree.leaves(out))
     return jax.jit(wrapped)
 
 
@@ -98,19 +102,19 @@ if __name__ == "__main__":
                                       state.ema_batch_stats, x12)
 
     def loss_fn(params, bs, x20, x1):
-        logits, upd = model.apply({"params": params, "batch_stats": bs},
-                                  x20, train=True, groups=5,
-                                  mutable=["batch_stats"])
-        lg1, _ = model.apply({"params": params,
-                              "batch_stats": upd["batch_stats"]},
-                             x1, train=True, groups=1,
-                             mutable=["batch_stats"])
-        parts = jnp.split(logits, 5)
+        # the fused 6-group (5x4 + 1 LQ) student call of semisup/step.py
+        logits, upd = model.apply(
+            {"params": params, "batch_stats": bs},
+            jnp.concatenate([x20, x1]), train=True,
+            group_sizes=(4, 4, 4, 4, 4, 1),
+            group_valid=jnp.ones((6,), jnp.bool_),
+            mutable=["batch_stats"])
+        parts = jnp.split(logits, [4, 8, 12, 16, 20])
         total = 0.0
-        for lg in parts[1:]:
+        for lg in parts[1:5]:
             total += L.ce_plus_dice(lg, pl2, multilabel=True, n_classes=2,
                                     mask=mask2)
-        return total + 0.0 * jnp.sum(lg1)
+        return total + 0.0 * jnp.sum(parts[5])
 
     grad_f0 = jax.jit(jax.value_and_grad(loss_fn))
     grad_f = checksummed(jax.value_and_grad(loss_fn))

@@ -63,6 +63,14 @@ class GroupedBatchNorm(nn.Module):
         sequentially in group order.
       * eval: normalize with running stats.
 
+    `group_sizes` (static tuple summing to the batch) allows UNEQUAL
+    groups — used to fold the reference's B=1 LQ forward (train.py:740)
+    into the same physical call as the five B=4 student passes.
+    `group_valid` (traced (g,) bool) masks groups out of the RUNNING-stat
+    fold: an invalid group still normalizes with its own batch stats
+    (its outputs are discarded by the caller) but leaves running
+    mean/var exactly as if its forward never happened.
+
     Stats are computed in float32 regardless of the compute dtype.
     """
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
@@ -70,7 +78,8 @@ class GroupedBatchNorm(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, groups: int = 1):
+    def __call__(self, x, *, train: bool, groups: int = 1,
+                 group_sizes=None, group_valid=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -88,37 +97,69 @@ class GroupedBatchNorm(nn.Module):
             return y.astype(out_dtype)
 
         n, h, w, _ = x.shape
-        g = groups
-        assert n % g == 0, f"batch {n} not divisible by groups {g}"
+        if group_sizes is None:
+            g = groups
+            assert n % g == 0, f"batch {n} not divisible by groups {g}"
+            group_sizes = (n // g,) * g
+        else:
+            group_sizes = tuple(group_sizes)
+            g = len(group_sizes)
+            assert sum(group_sizes) == n, (group_sizes, n)
+        equal = len(set(group_sizes)) == 1
         # Stats in two stages: per-sample (h,w) reductions on the big
         # tensor in its NATIVE rank-4 layout, then the tiny (n,c)->(g,c)
         # group average. Reshaping the activation itself to rank-5 forces
         # XLA into a slow layout for the fused reduce (profiled at ~40%
         # of step time); this form reduces the same values in the same
-        # f32 accumulation at full bandwidth.
-        xf = x.astype(jnp.float32)
-        m1 = jnp.mean(xf, axis=(1, 2))                            # (n, c)
-        m2 = jnp.mean(jnp.square(xf), axis=(1, 2))
-        mean = jnp.mean(m1.reshape(g, n // g, c), axis=1)         # (g, c)
-        mean2 = jnp.mean(m2.reshape(g, n // g, c), axis=1)
+        # f32 accumulation at full bandwidth. The per-sample moments are
+        # accumulated in f32 straight off the (possibly bf16) input —
+        # no f32 copy of the activation is materialized.
+        m1 = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)          # (n, c)
+        m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        if equal:
+            mean = jnp.mean(m1.reshape(g, n // g, c), axis=1)
+            mean2 = jnp.mean(m2.reshape(g, n // g, c), axis=1)
+        else:
+            # static averaging matrix: tiny (g,n)x(n,c) contraction
+            import numpy as np
+            seg = np.repeat(np.arange(g), group_sizes)
+            avg = np.zeros((g, n), np.float32)
+            avg[seg, np.arange(n)] = 1.0 / np.asarray(group_sizes)[seg]
+            avg = jnp.asarray(avg)
+            mean = avg @ m1                                       # (g, c)
+            mean2 = avg @ m2
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)          # biased
 
         inv = jax.lax.rsqrt(var + self.eps) * scale               # (g, c)
-        mean_n = jnp.repeat(mean, n // g, axis=0)                 # (n, c)
-        inv_n = jnp.repeat(inv, n // g, axis=0)
+        if equal:
+            mean_n = jnp.repeat(mean, n // g, axis=0)             # (n, c)
+            inv_n = jnp.repeat(inv, n // g, axis=0)
+        else:
+            mean_n = mean[seg]
+            inv_n = inv[seg]
         bias_n = jnp.broadcast_to(bias, (n, c))
-        y = (xf - mean_n[:, None, None, :]) * inv_n[:, None, None, :] \
-            + bias_n[:, None, None, :]
-        y = y.astype(out_dtype)
+        # normalize in the compute dtype (bf16 under amp): the affine is
+        # folded as x*inv - (mean*inv - bias) so the bf16 tensor is
+        # touched by one fused multiply-add; statistics stay f32.
+        shift = mean_n * inv_n - bias_n                           # (n, c) f32
+        y = x.astype(out_dtype) * inv_n[:, None, None, :].astype(out_dtype) \
+            - shift[:, None, None, :].astype(out_dtype)
 
         if self.is_mutable_collection("batch_stats"):
-            cnt = (n // g) * h * w
-            unbiased = var * (cnt / max(cnt - 1, 1))
+            cnt = jnp.asarray([s * h * w for s in group_sizes], jnp.float32)
+            unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))[:, None]
             m = self.momentum
             # sequential EMA over groups in order:
-            #   r_G = (1-m)^G r_0 + m * sum_g (1-m)^(G-1-g) stat_g
-            wts = m * (1.0 - m) ** jnp.arange(g - 1, -1, -1, dtype=jnp.float32)
-            decay = (1.0 - m) ** g
+            #   r_G = (1-m)^G r_0 + m * sum_g (1-m)^(#valid after g) stat_g
+            if group_valid is None:
+                wts = m * (1.0 - m) ** jnp.arange(g - 1, -1, -1,
+                                                  dtype=jnp.float32)
+                decay = jnp.float32((1.0 - m) ** g)
+            else:
+                v = jnp.asarray(group_valid, jnp.float32)
+                after = jnp.cumsum(v[::-1])[::-1] - v   # valid groups after g
+                wts = m * (1.0 - m) ** after * v
+                decay = (1.0 - m) ** jnp.sum(v)
             ra_mean.value = decay * ra_mean.value + wts @ mean
             ra_var.value = decay * ra_var.value + wts @ unbiased
         return y

@@ -30,13 +30,16 @@ class DoubleConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, groups: int = 1):
+    def __call__(self, x, *, train: bool, groups: int = 1,
+                 group_sizes=None, group_valid=None):
         mid = self.mid_ch or self.out_ch
         x = conv3x3(mid, dtype=self.dtype)(x)
-        x = GroupedBatchNorm()(x, train=train, groups=groups)
+        x = GroupedBatchNorm()(x, train=train, groups=groups,
+                               group_sizes=group_sizes, group_valid=group_valid)
         x = nn.relu(x)
         x = conv3x3(self.out_ch, dtype=self.dtype)(x)
-        x = GroupedBatchNorm()(x, train=train, groups=groups)
+        x = GroupedBatchNorm()(x, train=train, groups=groups,
+                               group_sizes=group_sizes, group_valid=group_valid)
         x = nn.relu(x)
         return x
 
@@ -47,10 +50,12 @@ class Down(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, groups: int = 1):
+    def __call__(self, x, *, train: bool, groups: int = 1,
+                 group_sizes=None, group_valid=None):
         x = max_pool_2x2(x)
         return DoubleConv(self.out_ch, dtype=self.dtype)(
-            x, train=train, groups=groups)
+            x, train=train, groups=groups, group_sizes=group_sizes,
+            group_valid=group_valid)
 
 
 class Up(nn.Module):
@@ -61,7 +66,8 @@ class Up(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x1, x2, *, train: bool, groups: int = 1):
+    def __call__(self, x1, x2, *, train: bool, groups: int = 1,
+                 group_sizes=None, group_valid=None):
         in_ch = x1.shape[-1]
         x1 = nn.ConvTranspose(
             in_ch // 2, (2, 2), strides=(2, 2), padding="VALID",
@@ -75,7 +81,8 @@ class Up(nn.Module):
                               (dw // 2, dw - dw // 2), (0, 0)))
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.out_ch, dtype=self.dtype)(
-            x, train=train, groups=groups)
+            x, train=train, groups=groups, group_sizes=group_sizes,
+            group_valid=group_valid)
 
 
 class UNet(nn.Module):
@@ -87,23 +94,21 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True, groups: int = 1,
-                 feature: bool = False):
+                 feature: bool = False, group_sizes=None, group_valid=None):
         dt = self.dtype
         x = x.astype(dt) if dt is not None else x
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(64, dtype=dt, name="inc")(x, train=train, groups=groups)
-        x2 = Down(128, dtype=dt, name="down1")(x1, train=train, groups=groups)
-        x3 = Down(256, dtype=dt, name="down2")(x2, train=train, groups=groups)
-        x4 = Down(512, dtype=dt, name="down3")(x3, train=train, groups=groups)
-        x5 = Down(1024 // factor, dtype=dt, name="down4")(
-            x4, train=train, groups=groups)
-        y = Up(512 // factor, dtype=dt, name="up1")(
-            x5, x4, train=train, groups=groups)
-        y = Up(256 // factor, dtype=dt, name="up2")(
-            y, x3, train=train, groups=groups)
-        y = Up(128 // factor, dtype=dt, name="up3")(
-            y, x2, train=train, groups=groups)
-        y = Up(64, dtype=dt, name="up4")(y, x1, train=train, groups=groups)
+        gkw = dict(train=train, groups=groups, group_sizes=group_sizes,
+                   group_valid=group_valid)
+        x1 = DoubleConv(64, dtype=dt, name="inc")(x, **gkw)
+        x2 = Down(128, dtype=dt, name="down1")(x1, **gkw)
+        x3 = Down(256, dtype=dt, name="down2")(x2, **gkw)
+        x4 = Down(512, dtype=dt, name="down3")(x3, **gkw)
+        x5 = Down(1024 // factor, dtype=dt, name="down4")(x4, **gkw)
+        y = Up(512 // factor, dtype=dt, name="up1")(x5, x4, **gkw)
+        y = Up(256 // factor, dtype=dt, name="up2")(y, x3, **gkw)
+        y = Up(128 // factor, dtype=dt, name="up3")(y, x2, **gkw)
+        y = Up(64, dtype=dt, name="up4")(y, x1, **gkw)
         logits = nn.Conv(
             self.n_classes, (1, 1), use_bias=True,
             kernel_init=torch_conv_kernel_init, bias_init=torch_bias_init(64),
