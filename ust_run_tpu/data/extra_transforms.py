@@ -346,7 +346,12 @@ class GetBoundary:
 
 
 def ToMultiLabel(dc):
-    """custom_transforms.py:705-710: one-hot over 3 slots."""
+    """custom_transforms.py:705-710: one-hot over 3 slots.
+
+    Deliberate delta: the reference returns None for dc outside 0..2
+    (falls off the if-chain); this returns the zero vector so callers
+    get a fixed-shape array. No in-repo caller passes out-of-range dc.
+    """
     out = np.zeros([3])
     if 0 <= dc < 3:
         out[dc] = 1

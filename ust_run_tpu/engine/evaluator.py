@@ -55,6 +55,11 @@ class Evaluator:
             if batch and batch % mesh.shape["data"] == 0:
                 bsh = NamedSharding(mesh, P("data"))
             else:  # indivisible eval batch: replicate rather than fail
+                import logging
+                logging.info(
+                    "eval batch %s not divisible by data axis %s: "
+                    "replicating the eval forward (no eval parallelism)",
+                    batch, mesh.shape["data"])
                 bsh = repl
             jit_kwargs = dict(in_shardings=(repl, repl, bsh, bsh))
         self._fwd = jax.jit(self._forward, **jit_kwargs)

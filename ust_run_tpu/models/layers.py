@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """Kernel shape (kh, kw, in_ch, out_ch) — torch Conv2d default init."""
     fan_in = shape[0] * shape[1] * shape[2]
@@ -105,6 +106,7 @@ class GroupedBatchNorm(nn.Module):
             group_sizes = tuple(group_sizes)
             g = len(group_sizes)
             assert sum(group_sizes) == n, (group_sizes, n)
+
         equal = len(set(group_sizes)) == 1
         # Stats in two stages: per-sample (h,w) reductions on the big
         # tensor in its NATIVE rank-4 layout, then the tiny (n,c)->(g,c)
@@ -173,4 +175,11 @@ def conv3x3(features, dtype=None, name=None):
 
 
 def max_pool_2x2(x):
+    """2x2 stride-2 max pool (reduce_window).
+
+    Perf note (r3): strided-slice and reshape-max formulations were both
+    measured SLOWER in the fused step (110.9 / 104.8 vs 97.7 ms) despite
+    select-and-scatter's reputation — the window form fuses better with
+    the surrounding conv/BN graph on this compiler. Keep reduce_window.
+    """
     return nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -3,9 +3,10 @@
 resnet50/101 with the last two stages converted to dilation (output
 stride 8), as used by the DeepLabV2 head. NHWC, GroupedBatchNorm,
 kaiming_normal(fan_out) conv init. The reference loads ImageNet weights
-from a local .pth (resnet.py:185-190); here `pretrained` is accepted for
-API parity and ignored with a warning (no torch checkpoints in this
-stack — load converted weights through flax serialization if needed).
+from a local .pth (resnet.py:185-190); the same torch checkpoint is
+imported at train time by `Trainer._load_pretrained_backbone`
+(engine/trainer.py), which mirrors the reference's layer layout — the
+`pretrained` flag here only records the request on the module.
 """
 
 from typing import Sequence

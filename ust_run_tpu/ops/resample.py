@@ -47,13 +47,15 @@ def bilinear_gather(img, rows, cols):
             start_index_map=(0, 1)),
         slice_sizes=(2, 2, c),
         mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
-    patches = patches.astype(jnp.float32)
-    # contract the 2x2 patch against the outer-product bilinear weights
-    # in one einsum (no strided patch slices -> no relayout copy)
-    wr = jnp.concatenate([1 - fr, fr], axis=1)            # (N, 2)
-    wc = jnp.concatenate([1 - fc, fc], axis=1)            # (N, 2)
-    w = wr[:, :, None] * wc[:, None, :]                   # (N, 2, 2)
-    out = jnp.einsum("npqc,npq->nc", patches, w)
+    # weighted sum of the four taps as ELEMENTWISE multiply-adds: unlike
+    # the previous einsum (dot_general), this fuses with the u8->f32
+    # convert of the gather output, so the 4x-wider f32 patch tensor is
+    # never materialized in HBM (profiled: %convert of [N,2,2,C] was a
+    # standalone 2.2 ms/step op in the fused train step).
+    p = patches.astype(jnp.float32)
+    top = p[:, 0, 0, :] * (1 - fc) + p[:, 0, 1, :] * fc
+    bot = p[:, 1, 0, :] * (1 - fc) + p[:, 1, 1, :] * fc
+    out = top * (1 - fr) + bot * fr
     return out.reshape(*shape, c)
 
 
