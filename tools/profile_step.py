@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Capture a device trace of the fused step and print the top HLO ops by
-self time (tensorboard_plugin_profile does the xplane->tool conversion).
+self time (xplane parsed directly via tools/xplane_tools.py; the
+tensorboard_plugin_profile converter is broken by a protobuf/tf skew in
+this environment).
 
 Usage: PYTHONPATH=. python tools/profile_step.py [--top 40]
 Writes the raw trace under /tmp/ust_trace and prints a table used for
@@ -9,8 +11,10 @@ the BENCH methodology (MFU / per-op breakdown).
 
 import argparse
 import glob
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
@@ -65,44 +69,8 @@ def main():
         raise SystemExit("no xplane.pb captured")
     xplane = xplanes[-1]
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    params = {"tqx": "out:json"}
-    data_out, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane], "framework_op_stats", params)
-    table = json.loads(data_out) if isinstance(data_out, str) else data_out
-    # framework_op_stats json: gviz table with rows of op stats
-    try:
-        cols = [c["label"] for c in table["table"]["cols"]]
-        rows = table["table"]["rows"]
-    except (KeyError, TypeError):
-        print(json.dumps(table)[:2000])
-        raise
-    idx_of = {c: i for i, c in enumerate(cols)}
-
-    def cell(r, name):
-        return r["c"][idx_of[name]]["v"]
-
-    items = []
-    for r in rows:
-        try:
-            items.append((cell(r, "Type"),
-                          float(cell(r, "Total self-time (us)")),
-                          float(cell(r, "TFLOPs")) if "TFLOPs" in idx_of
-                          else 0.0))
-        except (KeyError, TypeError, ValueError):
-            continue
-    agg = {}
-    for typ, t_us, fl in items:
-        a = agg.setdefault(typ, [0.0, 0.0])
-        a[0] += t_us
-        a[1] += fl
-    total = sum(a[0] for a in agg.values())
-    print(f"{'op type':<32}{'self ms':>10}{'%':>7}")
-    for typ, (t_us, fl) in sorted(agg.items(), key=lambda kv: -kv[1][0]
-                                  )[:args.top]:
-        print(f"{typ:<32}{t_us / 1000:>10.2f}{100 * t_us / total:>6.1f}%")
-    print(f"{'TOTAL':<32}{total / 1000:>10.2f}  (10 steps)")
+    from xplane_tools import print_table
+    print_table(xplane, steps=10, top=args.top)
 
 
 if __name__ == "__main__":
