@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Summarize a full-budget training run's log.txt into RUN30K.md content:
+per-epoch throughput stability, best-dice trajectory, queue/choice_th
+behaviour, checkpoint cadence, and the mid-run kill+resume seam.
+
+Usage: python tools/run30k_report.py <log.txt> [--every 5]
+"""
+
+import argparse
+import re
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log")
+    ap.add_argument("--every", type=int, default=5,
+                    help="print every Nth epoch row")
+    args = ap.parse_args()
+    text = open(args.log).read()
+
+    starts = re.findall(r"^\[([0-9:.]+)\] python (train\.py.*)$", text,
+                        flags=re.M)
+    print("## invocations")
+    for ts, cmd in starts:
+        print(f"* `{ts}` `{cmd[:110]}`")
+    print()
+
+    rows = []
+    for m in re.finditer(
+            r"\[([0-9:.]+)\] epoch (\d+): ([\d.]+) it/s, ([\d.]+) images/s",
+            text):
+        rows.append((int(m.group(2)), m.group(1), float(m.group(3)),
+                     float(m.group(4))))
+    bests = re.findall(
+        r"(?:stu_)?val_cup_best_dice: ([\d.]+) at (\d+) iter, "
+        r"(?:stu_)?val_disc_best_dice: ([\d.]+) at (\d+) iter, "
+        r"val_best_avg_dice: ([\d.]+) at (\d+) iter", text)
+    ckpts = re.findall(r"\[([0-9:.]+)\] save checkpoint to", text)
+
+    print("## per-epoch throughput (images/s, sampled)")
+    print("| epoch | wall time | it/s | images/s |")
+    print("|---|---|---|---|")
+    for e, ts, its, imgs in rows:
+        if e % args.every == 0 or e == 1 or e == rows[-1][0]:
+            print(f"| {e} | {ts} | {its:.1f} | {imgs:.1f} |")
+    if rows:
+        vals = [r[3] for r in rows]
+        import statistics
+        print(f"\nepochs: {len(rows)}; images/s median="
+              f"{statistics.median(vals):.1f} "
+              f"min={min(vals):.1f} max={max(vals):.1f}")
+    if bests:
+        b = bests[-1]
+        print(f"\nfinal best: cup {b[0]} @ iter {b[1]}, disc {b[2]} @ "
+              f"iter {b[3]}, avg {b[4]} @ iter {b[5]}")
+    print(f"checkpoint saves: {len(ckpts)} "
+          f"(first {ckpts[0] if ckpts else '-'}, "
+          f"last {ckpts[-1] if ckpts else '-'})")
+
+
+if __name__ == "__main__":
+    main()

@@ -255,12 +255,12 @@ class Trainer:
                 self.state, metrics = self.step_fn(self.state,
                                                    self.device_data, batch)
                 if pending is not None:
-                    self._drain(pending, meters)
+                    self._drain(pending, meters, bar)
                 pending = (iter_num + 1, metrics, batch["ulb_idx"])
                 iter_num += self.unroll
                 if bar is not None:
                     bar.update(self.unroll)
-            self._drain(pending, meters)
+            self._drain(pending, meters, bar)
             if bar is not None:
                 bar.close()
             dt = time.time() - t0
@@ -294,7 +294,7 @@ class Trainer:
         self.writer.close()
 
     # ------------------------------------------------------------------
-    def _drain(self, pending, meters):
+    def _drain(self, pending, meters, bar=None):
         """Fetch one dispatch's packed metrics (K rows for multi-step) and
         feed the per-iteration logging path."""
         it0, metrics, ulb_idx = pending
@@ -304,6 +304,33 @@ class Trainer:
             ulb_idx = ulb_idx[None]
         for j in range(arr.shape[0]):
             self._log_step(it0 + j, arr[j], np.asarray(ulb_idx[j]), *meters)
+        if bar is not None:
+            bar.set_description(self._bar_desc(
+                it0 + arr.shape[0] - 1, unpack_metrics(arr[-1], self.hp)),
+                refresh=False)
+
+    def _bar_desc(self, it, m):
+        """The reference's live tqdm description (train.py:874-879), fed
+        from the last drained dispatch (one-dispatch lag so the fetch
+        never blocks the device queue)."""
+        if self.cfg.dataset == "fundus":
+            return ("iteration %d: loss:%.4f,sup_loss:%.4f, "
+                    "unsup_loss_ul:%f, unsup_loss_lu:%f, cons_w:%.4f,"
+                    "mask_ratio:%.4f,%.4f,%.4f,ulb_cd:%.4f,ulb_dd:%.4f"
+                    % (it, m["loss"], m["sup_loss"], m["unsup_loss_ul"],
+                       m["unsup_loss_lu"], m["consistency_weight"],
+                       m["mask_ratio"], m["ratio_before_ensemble"],
+                       m["ratio_after_ensemble"], m["ulb_dice"][0],
+                       m["ulb_dice"][-1]))
+        return ("iteration %d : loss:%.3f, sup_loss:%.3f, "
+                "unsup_loss_ul:%.3f, unsup_loss_lu:%.3f, "
+                "unsup_loss_s:%.3f, cons_w:%.3f, "
+                "mask_ratio:%.3f,%.4f,%.4f, ulb_dice:%.3f"
+                % (it, m["loss"], m["sup_loss"], m["unsup_loss_ul"],
+                   m["unsup_loss_lu"], m["unsup_loss_s"],
+                   m["consistency_weight"], m["mask_ratio"],
+                   m["ratio_before_ensemble"], m["ratio_after_ensemble"],
+                   m["ulb_dice"][0]))
 
     def _log_step(self, it, metrics, ulb_idx, parts, avg_hardness, avg_dice,
                   other_avg, all_avg, lq_avg, dc_record, simple_ulb_name):
