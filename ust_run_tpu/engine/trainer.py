@@ -154,6 +154,16 @@ class Trainer:
         self.start_epoch = 0
         self._ckpt_io = ckpt.AsyncCheckpointer()
 
+        # Non-finite-loss forensics (failure-detection subsystem, SURVEY §5):
+        # UST_NAN_DEBUG=<dir> keeps a rolling host snapshot of the train
+        # state every UST_NAN_SNAP iters (default 250) plus the index
+        # batches since, and on the first non-finite loss dumps both for
+        # deterministic replay (tools/nan_replay.py), then aborts.
+        self._nan_dir = os.environ.get("UST_NAN_DEBUG", "")
+        self._nan_snap_every = int(os.environ.get("UST_NAN_SNAP", "250"))
+        self._nan_state = None       # (iter, host state)
+        self._nan_batches = []       # batches applied after the snapshot
+
         if cfg.load:
             path = os.path.join(self.snapshot_path, "checkpoint.pth")
             payload = ckpt.load_checkpoint(path)
@@ -252,6 +262,14 @@ class Trainer:
                     batch = self._next_multi_batch()
                 else:
                     batch = self._next_batch()
+                if self._nan_dir:
+                    if self._nan_state is None or \
+                            iter_num - self._nan_state[0] >= \
+                            self._nan_snap_every:
+                        self._nan_state = (iter_num,
+                                           jax.device_get(self.state))
+                        self._nan_batches = []
+                    self._nan_batches.append(batch)
                 self.state, metrics = self.step_fn(self.state,
                                                    self.device_data, batch)
                 if pending is not None:
@@ -303,11 +321,37 @@ class Trainer:
             arr = arr[None]
             ulb_idx = ulb_idx[None]
         for j in range(arr.shape[0]):
+            if self._nan_dir:
+                m = unpack_metrics(arr[j], self.hp)
+                bad = [k for k in ("loss", "sup_loss", "unsup_loss_ul",
+                                   "unsup_loss_lu", "unsup_loss_s")
+                       if not np.isfinite(m[k])]
+                if bad:
+                    self._nan_dump(it0 + j, bad)
             self._log_step(it0 + j, arr[j], np.asarray(ulb_idx[j]), *meters)
         if bar is not None:
             bar.set_description(self._bar_desc(
                 it0 + arr.shape[0] - 1, unpack_metrics(arr[-1], self.hp)),
                 refresh=False)
+
+    def _nan_dump(self, it, bad_terms):
+        """First non-finite loss: dump the last good snapshot + the batch
+        stream since it, so tools/nan_replay.py can re-run the divergence
+        deterministically, then abort the run."""
+        import pickle
+        os.makedirs(self._nan_dir, exist_ok=True)
+        snap_it, snap = self._nan_state
+        with open(os.path.join(self._nan_dir, "state.pkl"), "wb") as f:
+            pickle.dump({"iter": snap_it, "state": snap}, f)
+        with open(os.path.join(self._nan_dir, "batches.pkl"), "wb") as f:
+            pickle.dump({"unroll": self.unroll,
+                         "batches": self._nan_batches}, f)
+        logging.error(
+            "non-finite %s at iteration %d; snapshot of iteration %d and "
+            "%d batch dispatches dumped to %s", ",".join(bad_terms), it,
+            snap_it, len(self._nan_batches), self._nan_dir)
+        self._ckpt_io.wait()
+        raise SystemExit(3)
 
     def _bar_desc(self, it, m):
         """The reference's live tqdm description (train.py:874-879), fed
