@@ -110,13 +110,28 @@ def main():
                   f"|param|max={pmax:.3e} |bn|max={bmax:.3e}")
         if bad:
             print(f"\n=== first non-finite at iter {it}: {bad} ===")
-            dissect(model, hp, prev_state, data, batch)
             out = os.path.join(args.dump, "prefail.pkl")
             with open(out, "wb") as f:
                 pickle.dump({"iter": it - 1,
                              "state": jax.device_get(prev_state),
                              "batch": batch}, f)
             print("pre-fail state written to", out)
+            dissect(model, hp, prev_state, data, batch)
+            # localize the exact primitive: re-run the failing step with
+            # the NaN checker on. jit de-optimizes to op-by-op replay on
+            # the first NaN and raises with the producing op's traceback.
+            print("\n=== re-running failing step under jax_debug_nans ===",
+                  flush=True)
+            jax.config.update("jax_debug_nans", True)
+            try:
+                st, mets = jax.jit(step_raw)(prev_state, data, batch)
+                jax.block_until_ready(mets)
+                np.asarray(mets)
+                print("debug_nans: no NaN raised (non-finite was inf-only?)")
+            except FloatingPointError as e:
+                print("debug_nans traceback:\n", e)
+            finally:
+                jax.config.update("jax_debug_nans", False)
             return 1
     print("replay finished with no non-finite loss (divergence is "
           "snapshot-timing sensitive; rerun with a smaller UST_NAN_SNAP)")
@@ -182,25 +197,12 @@ def dissect(model, hp, state, data, batch):
           " lq.img:", end="")
     stat("", state.lq.img)
 
-    # per-leaf grad norms on the full loss
-    from ust_run_tpu.semisup.step import make_step_fn
-
-    def loss_of(params):
-        st = state.replace(params=params)
-        _, metrics = make_step_fn(model, hp, mesh=None)(st, data, batch)
-        return jnp.asarray(metrics)[0]
-
-    g = jax.grad(loss_of)(state.params)
-    rows = []
-    for path, a in jax.tree_util.tree_flatten_with_path(g)[0]:
-        a = np.asarray(a)
-        rows.append((float(np.abs(a).max()) if np.isfinite(a).all()
-                     else float("inf"), int((~np.isfinite(a)).sum()),
-                     jax.tree_util.keystr(path)))
-    rows.sort(reverse=True)
-    print("  top grad leaves (max|g|, nonfinite count):")
-    for r in rows[:10]:
-        print(f"    {r[0]:.4e} {r[1]:6d} {r[2]}")
+    # queue health (the cut pool mixes queue.img into student inputs)
+    stat("queue.img", state.queue.img)
+    stat("queue.conf", state.queue.conf)
+    stat("queue.hardness", state.queue.hardness)
+    print("  queue.count:", int(np.asarray(state.queue.count)),
+          " choice_th:", float(np.asarray(state.choice_th)))
 
 
 if __name__ == "__main__":

@@ -306,6 +306,9 @@ class Trainer:
                 logging.info("epoch simple domain %d cnt: %d", i + 1,
                              int(dc_record[i]))
 
+            if os.environ.get("UST_WNORM_LOG"):
+                self._log_weight_health(epoch_num)
+
             self._evaluate_and_checkpoint(epoch_num, iter_num, parts)
 
         self._ckpt_io.wait()
@@ -333,6 +336,27 @@ class Trainer:
             bar.set_description(self._bar_desc(
                 it0 + arr.shape[0] - 1, unpack_metrics(arr[-1], self.hp)),
                 refresh=False)
+
+    def _log_weight_health(self, epoch_num):
+        """UST_WNORM_LOG=1: per-epoch max|value| of each top-level module's
+        params and batch_stats — the forensic signal for the BN-invariant
+        weight-growth failure mode (first-layer kernels growing until the
+        f32 variance accumulation overflows; see tools/nan_replay.py)."""
+        import jax.numpy as jnp
+
+        def mod_max(tree):
+            return {k: float(max(jnp.max(jnp.abs(x))
+                                 for x in jax.tree.leaves(v)))
+                    for k, v in tree.items()}
+
+        pm = mod_max(self.state.params)
+        bm = mod_max(self.state.batch_stats)
+        logging.info("epoch %d weight health: params max %s",
+                     epoch_num + 1,
+                     " ".join(f"{k}:{v:.3e}" for k, v in pm.items()))
+        logging.info("epoch %d weight health: bn max %s",
+                     epoch_num + 1,
+                     " ".join(f"{k}:{v:.3e}" for k, v in bm.items()))
 
     def _nan_dump(self, it, bad_terms):
         """First non-finite loss: dump the last good snapshot + the batch
