@@ -196,9 +196,20 @@ def unpack_metrics(vec, hp):
     return out
 
 
-def make_step_fn(model, hp: HyperParams, mesh=None):
-    """Build the PURE train-step function
-    (state, data, idx) -> (state, packed metrics).
+def make_step_parts(model, hp: HyperParams, mesh=None):
+    """Build the train step plus its two separable stages.
+
+    Returns (step_fn, build_inputs, loss_terms):
+      * step_fn(state, data, idx) -> (state, packed metrics) — the fused
+        step, exactly as jitted by make_train_step;
+      * build_inputs(state, data, idx) -> dict — everything the loss
+        consumes (augmented/mixed student inputs, pseudo-labels, masks,
+        consistency weight) plus the curriculum byproducts, reproducing
+        the step's own RNG stream. Forensics tools (tools/event_hunt.py,
+        tools/nan_replay.py) use this to decompose a recorded step
+        without re-implementing the input pipeline;
+      * loss_terms(params, state, inp) -> (total, aux) — the loss the
+        step differentiates, on those inputs.
 
     `data` is the ENTIRE decoded training corpus, resident in device HBM
     (uint8: lb_img (N1,S,S,C), lb_lab (N1,S,S,K), lb_dc (N1,), ulb_*
@@ -228,7 +239,7 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
     b_lb, b_ulb, q = hp.label_bs, hp.unlabel_bs, hp.queue_len
     s = hp.patch
 
-    def step_fn(state, data, idx):
+    def build_inputs(state, data, idx):
         rngs = jax.random.split(state.rng, 10)
         (rng_next, k_weak_lb, k_weak_ulb, k_strong, k_choice, k_fda, k_box,
          k_lq, k_perm, k_misc) = rngs
@@ -360,69 +371,92 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
             hp.consistency, state.step.astype(jnp.float32),
             hp.max_iterations, hp.consistency_rampup)
 
-        # ------ student forwards + loss (train.py:668-674, 699-702,
-        #         740, 816-838) -------------------------------------------
-        def loss_fn(params):
-            # ONE 21-image call: the five B=4 student passes plus the B=1
-            # LQ pass (train.py:699-702, 740) as six BN groups of a single
-            # conv stack. Folding the LQ sample in removes the serial
-            # batch-1 conv chain that used to follow the grouped call
-            # (r2 VERDICT weak #2); `group_valid` makes its running-stat
-            # contribution conditional on lq.valid, exactly like the
-            # separate forward it replaces.
-            stu_in = constrain(jnp.concatenate(
-                [ulb_x_w, lb_x_w, ulb_x_s_ul, ulb_x_s_lu, ulb_x_s, lq_s]))
-            sizes = (b_ulb, b_lb, b_ulb, b_ulb, b_ulb, 1)
-            valid6 = jnp.concatenate(
-                [jnp.ones((5,), jnp.bool_), jnp.reshape(lq.valid, (1,))])
-            logits_a, upd_a = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                stu_in, train=True, group_sizes=sizes, group_valid=valid6,
-                mutable=["batch_stats"])
-            bounds = [b_ulb, b_ulb + b_lb, 2 * b_ulb + b_lb,
-                      3 * b_ulb + b_lb, 4 * b_ulb + b_lb]
-            (stu_logits_w, logits_lb, logits_ul, logits_lu,
-             logits_s, logits_lq) = jnp.split(logits_a, bounds)
-            new_bs = upd_a["batch_stats"]
+        return dict(
+            rng_next=rng_next,
+            lb_x_w=lb_x_w, ulb_x_w=ulb_x_w, ulb_x_s=ulb_x_s,
+            ulb_x_s_ul=ulb_x_s_ul, ulb_x_s_lu=ulb_x_s_lu, lq_s=lq_s,
+            lb_mask=lb_mask, ulb_mask=ulb_mask, ulb_dc=ulb_dc,
+            pseudo_label=pseudo_label, mask=mask,
+            pseudo_label_ul=pseudo_label_ul, mask_ul=mask_ul,
+            pseudo_label_lu=pseudo_label_lu, mask_lu=mask_lu,
+            pseudo_label_w=pseudo_label_w, mask_w=mask_w,
+            pseudo_label_lq=pseudo_label_lq, mask_lq=mask_lq,
+            lq_valid=lq.valid, cons_w=cons_w,
+            ratio_before=ratio_before, ratio_after=ratio_after,
+            tea_batch_stats=tea_upd["batch_stats"],
+        )
 
-            sup_loss = L.ce_plus_dice(logits_lb, lb_mask,
-                                      multilabel=hp.multilabel,
-                                      n_classes=hp.num_classes)
-            ul_without = L.ce_plus_dice(
-                logits_ul, pseudo_label_ul, multilabel=hp.multilabel,
-                n_classes=hp.num_classes, mask=mask_ul)
-            if hp.lq_loss:
-                # opt-in: LQ sample concatenated into unsup_ul when valid
-                # (the branch at train.py:822-830 as written; dead upstream
-                # — see HyperParams.lq_loss). The CE mean denominator
-                # includes the extra sample, matching the torch.cat form.
-                ul_with = L.ce_plus_dice(
-                    jnp.concatenate([logits_ul, logits_lq]),
-                    jnp.concatenate([pseudo_label_ul, pseudo_label_lq]),
-                    multilabel=hp.multilabel, n_classes=hp.num_classes,
-                    mask=jnp.concatenate([mask_ul, mask_lq]))
-                unsup_ul = jnp.where(lq.valid, ul_with, ul_without)
-            else:
-                # reference-faithful: only the BN side-effect of the
-                # model(lq_s) forward (train.py:741) survives; the
-                # forward above still threads its batch_stats update.
-                del logits_lq
-                unsup_ul = ul_without
-            unsup_lu = L.ce_plus_dice(
-                logits_lu, pseudo_label_lu, multilabel=hp.multilabel,
-                n_classes=hp.num_classes, mask=mask_lu)
-            unsup_s = L.ce_plus_dice(
-                logits_s, pseudo_label_w, multilabel=hp.multilabel,
-                n_classes=hp.num_classes, mask=mask_w)
-            total = sup_loss + cons_w * (unsup_ul + unsup_lu
-                                         + cons_w * unsup_s)  # :838
-            aux = dict(new_bs=new_bs, stu_logits_w=stu_logits_w,
-                       sup_loss=sup_loss, unsup_ul=unsup_ul,
-                       unsup_lu=unsup_lu, unsup_s=unsup_s)
-            return total, aux
+    # ------ student forwards + loss (train.py:668-674, 699-702,
+    #         740, 816-838) -----------------------------------------------
+    def loss_terms(params, state, inp):
+        # ONE 21-image call: the five B=4 student passes plus the B=1
+        # LQ pass (train.py:699-702, 740) as six BN groups of a single
+        # conv stack. Folding the LQ sample in removes the serial
+        # batch-1 conv chain that used to follow the grouped call
+        # (r2 VERDICT weak #2); `group_valid` makes its running-stat
+        # contribution conditional on lq.valid, exactly like the
+        # separate forward it replaces.
+        stu_in = constrain(jnp.concatenate(
+            [inp["ulb_x_w"], inp["lb_x_w"], inp["ulb_x_s_ul"],
+             inp["ulb_x_s_lu"], inp["ulb_x_s"], inp["lq_s"]]))
+        sizes = (b_ulb, b_lb, b_ulb, b_ulb, b_ulb, 1)
+        valid6 = jnp.concatenate(
+            [jnp.ones((5,), jnp.bool_), jnp.reshape(inp["lq_valid"], (1,))])
+        logits_a, upd_a = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            stu_in, train=True, group_sizes=sizes, group_valid=valid6,
+            mutable=["batch_stats"])
+        bounds = [b_ulb, b_ulb + b_lb, 2 * b_ulb + b_lb,
+                  3 * b_ulb + b_lb, 4 * b_ulb + b_lb]
+        (stu_logits_w, logits_lb, logits_ul, logits_lu,
+         logits_s, logits_lq) = jnp.split(logits_a, bounds)
+        new_bs = upd_a["batch_stats"]
+        cons_w = inp["cons_w"]
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        sup_loss = L.ce_plus_dice(logits_lb, inp["lb_mask"],
+                                  multilabel=hp.multilabel,
+                                  n_classes=hp.num_classes)
+        ul_without = L.ce_plus_dice(
+            logits_ul, inp["pseudo_label_ul"], multilabel=hp.multilabel,
+            n_classes=hp.num_classes, mask=inp["mask_ul"])
+        if hp.lq_loss:
+            # opt-in: LQ sample concatenated into unsup_ul when valid
+            # (the branch at train.py:822-830 as written; dead upstream
+            # — see HyperParams.lq_loss). The CE mean denominator
+            # includes the extra sample, matching the torch.cat form.
+            ul_with = L.ce_plus_dice(
+                jnp.concatenate([logits_ul, logits_lq]),
+                jnp.concatenate([inp["pseudo_label_ul"],
+                                 inp["pseudo_label_lq"]]),
+                multilabel=hp.multilabel, n_classes=hp.num_classes,
+                mask=jnp.concatenate([inp["mask_ul"], inp["mask_lq"]]))
+            unsup_ul = jnp.where(inp["lq_valid"], ul_with, ul_without)
+        else:
+            # reference-faithful: only the BN side-effect of the
+            # model(lq_s) forward (train.py:741) survives; the
+            # forward above still threads its batch_stats update.
+            del logits_lq
+            unsup_ul = ul_without
+        unsup_lu = L.ce_plus_dice(
+            logits_lu, inp["pseudo_label_lu"], multilabel=hp.multilabel,
+            n_classes=hp.num_classes, mask=inp["mask_lu"])
+        unsup_s = L.ce_plus_dice(
+            logits_s, inp["pseudo_label_w"], multilabel=hp.multilabel,
+            n_classes=hp.num_classes, mask=inp["mask_w"])
+        total = sup_loss + cons_w * (unsup_ul + unsup_lu
+                                     + cons_w * unsup_s)  # :838
+        aux = dict(new_bs=new_bs, stu_logits_w=stu_logits_w,
+                   sup_loss=sup_loss, unsup_ul=unsup_ul,
+                   unsup_lu=unsup_lu, unsup_s=unsup_s)
+        return total, aux
+
+    def step_fn(state, data, idx):
+        inp = build_inputs(state, data, idx)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_terms, has_aux=True)(state.params, state, inp)
+        (pseudo_label, mask, ulb_x_w, ulb_mask, ulb_dc, cons_w) = (
+            inp["pseudo_label"], inp["mask"], inp["ulb_x_w"],
+            inp["ulb_mask"], inp["ulb_dc"], inp["cons_w"])
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -457,8 +491,8 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
             loss=loss, sup_loss=aux["sup_loss"], unsup_loss_ul=aux["unsup_ul"],
             unsup_loss_lu=aux["unsup_lu"], unsup_loss_s=aux["unsup_s"],
             consistency_weight=cons_w, mask_ratio=jnp.mean(mask),
-            ratio_before_ensemble=ratio_before,
-            ratio_after_ensemble=ratio_after,
+            ratio_before_ensemble=inp["ratio_before"],
+            ratio_after_ensemble=inp["ratio_after"],
             ulb_dice=jnp.mean(ulb_dice, axis=1),          # (n_part,)
             lq_dice=jnp.mean(lq_dice, axis=1),
             hardness_mean=jnp.mean(hardness),
@@ -475,9 +509,9 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
             params=new_params,
             batch_stats=aux["new_bs"],
             ema_params=new_ema,
-            ema_batch_stats=tea_upd["batch_stats"],
+            ema_batch_stats=inp["tea_batch_stats"],
             opt_state=new_opt,
-            rng=rng_next,
+            rng=inp["rng_next"],
             queue=new_queue,
             lq=new_lq,
             choice_th=new_th,
@@ -570,7 +604,12 @@ def make_step_fn(model, hp: HyperParams, mesh=None):
                         simple_hardness=simple_hardness)
         return new_queue, new_th, qmetrics
 
-    return step_fn
+    return step_fn, build_inputs, loss_terms
+
+
+def make_step_fn(model, hp: HyperParams, mesh=None):
+    """The fused train step alone (see make_step_parts)."""
+    return make_step_parts(model, hp, mesh)[0]
 
 
 def _jit_kwargs(repl_sharding):
