@@ -192,3 +192,45 @@ def test_weak_augment_uint8_equals_float32():
                                   np.asarray(out_f32[0]))
     np.testing.assert_array_equal(np.asarray(out_u8[1]),
                                   np.asarray(out_f32[1]))
+
+
+def test_uniform_batch_distribution():
+    """uniform_batch must be U[0,1) on WHICHEVER backend is active.
+
+    Regression: the Pallas TPU kernel arithmetic-shifted SIGNED int32
+    random bits, mapping half the draws to (-2^7, 0); the elastic
+    displacement fields built from them threw every p=0.5-gated sample
+    fully out of bounds (black image, fill-valued mask) — silently, on
+    TPU only, because the CPU fallback (jax.random.uniform) is a
+    different code path. See STABILITY.md. On CPU this exercises the
+    fallback; under the TPU verify flow it exercises the kernel.
+    """
+    import jax
+
+    from ust_run_tpu.ops.pallas_rng import uniform_batch
+
+    u = np.asarray(uniform_batch(jax.random.PRNGKey(3), 8, 128))
+    assert u.shape == (8, 128, 128)
+    assert u.min() >= 0.0 and u.max() < 1.0, (u.min(), u.max())
+    assert abs(u.mean() - 0.5) < 0.01, u.mean()
+    assert abs(u.std() - (1 / 12) ** 0.5) < 0.01, u.std()
+    # per-field independence: distinct fields differ
+    assert np.abs(u[0] - u[1]).max() > 0.1
+
+
+def test_weak_augment_batch_not_degenerate():
+    """No augmentation branch may blank out a sample: on a bright input
+    every output must keep a majority of non-fill pixels (the broken
+    elastic fields produced ~99.7%-black outputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ust_run_tpu.ops.augment import weak_augment_batch
+
+    img = np.full((8, 64, 64, 3), 200, np.uint8)
+    lab = np.full((8, 64, 64, 1), 128, np.uint8)
+    out_img, _ = weak_augment_batch(jax.random.PRNGKey(11),
+                                    jnp.asarray(img), jnp.asarray(lab),
+                                    64, 255)
+    black = (np.asarray(out_img) < 1.0).mean(axis=(1, 2, 3))
+    assert black.max() < 0.5, black

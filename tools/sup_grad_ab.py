@@ -40,7 +40,7 @@ SEED = 1337
 BASE_LR, MAX_ITER = 0.03, 30000
 
 
-def phase_jax(out, steps, data_root):
+def phase_jax(out, steps, data_root, key_seed=SEED + 777):
     import jax
     import jax.numpy as jnp
     import optax
@@ -96,33 +96,36 @@ def phase_jax(out, steps, data_root):
             sup_loss_fn, has_aux=True)(params, bstats, x, m)
         updates, new_opt = tx.update(g, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_bs, new_opt, loss, g
+        gnorm = jnp.sqrt(sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                             for v in jax.tree.leaves(g)))
+        k0 = new_params["inc"]["Conv_0"]["kernel"]
+        probes = jnp.stack([
+            gnorm, jnp.max(jnp.abs(k0)), jnp.linalg.norm(k0),
+            jnp.max(jnp.stack([jnp.max(jnp.abs(v)) for v in
+                               jax.tree.leaves(new_params["inc"])])),
+        ])
+        return new_params, new_bs, new_opt, loss, probes, g["inc"]
 
     aug_jit = jax.jit(aug_batch)
-    key = jax.random.PRNGKey(SEED + 777)
+    key = jax.random.PRNGKey(key_seed)
     rows, xs, ms = [], [], []
     for t in range(steps):
         key, k = jax.random.split(key)
         idx = jnp.asarray(pipe.next_indices().astype(np.int32))
         x, m = aug_jit(k, idx)
-        params, bstats, opt_state, loss, g = train_step(
+        params, bstats, opt_state, loss, probes, g_inc = train_step(
             params, bstats, opt_state, x, m)
         xs.append(np.asarray(x, np.float16))
         ms.append(np.asarray(m, np.uint8))
-        k0 = params["inc"]["Conv_0"]["kernel"]
-        gl = [np.asarray(v, np.float32) for v in jax.tree.leaves(g)]
-        row = dict(step=t, loss=float(loss),
-                   gnorm=float(np.sqrt(sum((a.astype(np.float64)**2).sum()
-                                           for a in gl))),
-                   conv0_max=float(jnp.max(jnp.abs(k0))),
-                   conv0_l2=float(jnp.linalg.norm(k0)),
-                   inc_max=float(max(jnp.max(jnp.abs(v)) for v in
-                                     jax.tree.leaves(params["inc"]))))
+        pv = np.asarray(probes)
+        row = dict(step=t, loss=float(loss), gnorm=float(pv[0]),
+                   conv0_max=float(pv[1]), conv0_l2=float(pv[2]),
+                   inc_max=float(pv[3]))
         rows.append(row)
         if t < K_GRADS:
             np.savez(os.path.join(out, f"jax_grad_{t}.npz"),
-                     **{f"{m_}_{l}": np.asarray(g["inc"][m_][l])
-                        for m_ in g["inc"] for l in g["inc"][m_]})
+                     **{f"{m_}_{l}": np.asarray(g_inc[m_][l])
+                        for m_ in g_inc for l in g_inc[m_]})
         if t % 25 == 0:
             print(f"jax t={t} loss={row['loss']:.4f} "
                   f"conv0={row['conv0_max']:.4f} inc={row['inc_max']:.4f}",
@@ -170,7 +173,7 @@ def phase_torch(out, steps):
                   "GroupedBatchNorm_1_scale": "inc.double_conv.4.weight",
                   "GroupedBatchNorm_1_bias": "inc.double_conv.4.bias"}
             sd = {k: v.grad for k, v in model.named_parameters()}
-            for ours, theirs in 名.items():
+            for ours, theirs in name_map.items():
                 g = sd[theirs].detach().numpy()
                 if g.ndim == 4:
                     g = g.transpose(2, 3, 1, 0)   # OIHW -> HWIO
@@ -235,9 +238,10 @@ def main():
     ap.add_argument("--out", default="/tmp/supab")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--data_root", default="/tmp/data/Fundus")
+    ap.add_argument("--key-seed", type=int, default=SEED + 777)
     a = ap.parse_args()
     if a.phase == "jax":
-        phase_jax(a.out, a.steps, a.data_root)
+        phase_jax(a.out, a.steps, a.data_root, a.key_seed)
     elif a.phase == "torch":
         phase_torch(a.out, a.steps)
     else:

@@ -22,7 +22,14 @@ from jax.experimental.pallas import tpu as pltpu
 def _uniform_kernel(seed_ref, out_ref):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.prng_random_bits(out_ref.shape[1:])
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # prng_random_bits yields SIGNED int32: `bits >> 8` would be an
+    # arithmetic shift, mapping half the draws to (-2^7, 0) instead of
+    # [0,1) — a logical shift keeps the top 24 bits as an unsigned
+    # mantissa. (Caught on-chip: the arithmetic form made the elastic
+    # displacement fields explode, blacking out every p=0.5-gated
+    # sample; see STABILITY.md.)
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
     out_ref[0] = u
 
 
