@@ -2,8 +2,8 @@
 """2-process CPU run of the REAL fused SSL train step over a global mesh.
 
 Extends multihost_cpu_demo (psum smoke) to the production code path: two
-processes each contribute 4 virtual CPU devices; the full
-`semisup.step` executable runs once over the 8-device `data` mesh with
+processes each contribute UST_MH_DEVS virtual CPU devices (default 4);
+the full `semisup.step` executable runs once over the global `data` mesh with
 replicated state/corpus built via `jax.make_array_from_callback` (the
 multi-host equivalent of device_put). Both processes must report the
 same finite loss — proving the single-controller step works across
@@ -34,8 +34,9 @@ def worker():
     from ust_run_tpu.semisup import (HyperParams, create_train_state,
                                      make_train_step)
 
-    assert jax.device_count() == 8, jax.device_count()
-    mesh = make_mesh(8, spatial=1)
+    devs = int(os.environ.get("UST_MH_DEVS", "4"))  # per process
+    assert jax.device_count() == 2 * devs, jax.device_count()
+    mesh = make_mesh(2 * devs, spatial=1)
     repl = replicated_sharding(mesh)
 
     hp = HyperParams(
@@ -80,6 +81,16 @@ def worker():
     })
 
     step = make_train_step(model, hp, mesh=mesh, repl_sharding=repl)
+
+    # Align the processes before the first collective executes: Gloo's
+    # context init runs under a hardcoded 30 s rendezvous deadline that
+    # starts when the FIRST process arrives, and on a loaded single-core
+    # host the state-replication/compile skew between workers can exceed
+    # it. The coordination-service barrier (plain TCP to the coordinator,
+    # no Gloo involved) collapses that skew to milliseconds.
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("pre_step", 600_000)
+
     new_state, metrics = step(state, data, idx)
     # metrics is replicated: read the local shard, then allgather the
     # host scalar across processes to assert bitwise agreement
@@ -110,7 +121,8 @@ def main():
             "XLA_FLAGS": (re.sub(
                 r"--xla_force_host_platform_device_count=\d+", "",
                 env.get("XLA_FLAGS", ""))
-                + " --xla_force_host_platform_device_count=4").strip(),
+                + " --xla_force_host_platform_device_count="
+                + os.environ.get("UST_MH_DEVS", "4")).strip(),
             "JAX_COMPILATION_CACHE_DIR": os.path.expanduser(
                 "~/.cache/jax_comp"),
             "UST_MULTIHOST_STEP_WORKER": "1",
