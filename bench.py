@@ -18,14 +18,39 @@ reference runnable here). Point estimate 20 img/s, range [13, 31];
 
 import json
 import os
+import threading
 import time
 
 # BASELINE_METHOD.md: V100 "typical" scenario point estimate + range
 REFERENCE_GPU_IMG_PER_SEC = 20.0
 REFERENCE_RANGE = (13.0, 31.0)
 
+# Device-acquisition watchdog: if the TPU tunnel is down, jax.devices()
+# blocks forever inside C plugin init (SIGALRM handlers never run —
+# the main thread never returns to the interpreter), so a daemon
+# thread emits a diagnosable JSON line and hard-exits instead of
+# hanging whatever harness invoked us.
+WATCHDOG_SECS = int(os.environ.get("UST_BENCH_WATCHDOG", "900"))
+_done = threading.Event()
+
+
+def _watchdog():
+    if _done.wait(WATCHDOG_SECS):
+        return
+    print(json.dumps({
+        "metric": "ssl_train_images_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "images/s",
+        "vs_baseline": 0.0,
+        "error": f"device acquisition/benchmark exceeded {WATCHDOG_SECS}s "
+                 "(TPU tunnel down?); see PERF.md for the last measured "
+                 "on-chip headline",
+    }), flush=True)
+    os._exit(3)
+
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_comp"))
     import jax
@@ -92,6 +117,7 @@ def main():
     np.asarray(pending)
     dt = (time.time() - t0) / (n_calls * unroll)
 
+    _done.set()
     imgs_per_sec = (cfg.label_bs + cfg.unlabel_bs) / dt
     print(json.dumps({
         "metric": "ssl_train_images_per_sec_per_chip",
