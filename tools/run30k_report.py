@@ -3,7 +3,12 @@
 per-epoch throughput stability, best-dice trajectory, queue/choice_th
 behaviour, checkpoint cadence, and the mid-run kill+resume seam.
 
-Usage: python tools/run30k_report.py <log.txt> [--every 5]
+log.txt APPENDS across runs sharing a save_name, so by default the
+report covers only the LAST fresh (non---load) invocation onward —
+earlier lineages in the same file are dropped. --all-runs keeps
+everything.
+
+Usage: python tools/run30k_report.py <log.txt> [--every 5] [--all-runs]
 """
 
 import argparse
@@ -15,8 +20,20 @@ def main():
     ap.add_argument("log")
     ap.add_argument("--every", type=int, default=5,
                     help="print every Nth epoch row")
+    ap.add_argument("--all-runs", action="store_true",
+                    help="include every invocation in the appended log, "
+                         "not just the last fresh lineage")
     args = ap.parse_args()
     text = open(args.log).read()
+
+    if not args.all_runs:
+        # slice at the last invocation that did NOT resume (--load):
+        # that invocation plus its resumes form the current lineage
+        fresh = [m for m in re.finditer(
+            r"^\[[0-9:.]+\] python train\.py.*$", text, flags=re.M)
+            if "--load" not in m.group(0)]
+        if fresh:
+            text = text[fresh[-1].start():]
 
     starts = re.findall(r"^\[([0-9:.]+)\] python (train\.py.*)$", text,
                         flags=re.M)
