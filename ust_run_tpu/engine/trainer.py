@@ -311,6 +311,16 @@ class Trainer:
 
             self._evaluate_and_checkpoint(epoch_num, iter_num, parts)
 
+            # Matched-horizon parity lanes: stop cleanly after N iterations
+            # WITHOUT touching max_iterations (which the LR poly decay and
+            # FDA degree schedules divide by, train.py:523,580) — so a short
+            # lane sees the exact schedule of a full-budget run.
+            stop_after = int(os.environ.get("UST_STOP_AFTER_ITERS", "0"))
+            if stop_after and iter_num >= stop_after:
+                logging.info("UST_STOP_AFTER_ITERS=%d reached at iter %d; "
+                             "stopping early", stop_after, iter_num)
+                break
+
         self._ckpt_io.wait()
         self.writer.close()
 
