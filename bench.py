@@ -69,6 +69,10 @@ def main():
     cfg = TrainConfig(dataset="fundus").resolve()
     cfg.unroll_steps = int(os.environ.get("UST_BENCH_UNROLL",
                                           cfg.unroll_steps))
+    # secondary datapoints (e.g. the DeepLabV2 backbone-swap config):
+    # UST_BENCH_MODEL=deeplabv2_r50 measures the same fused step on that
+    # model; the headline metric stays the default (unet).
+    cfg.model = os.environ.get("UST_BENCH_MODEL", cfg.model)
     hp = HyperParams.from_config(cfg)
     model = build_model(cfg)
     state = create_train_state(model, hp, 0)

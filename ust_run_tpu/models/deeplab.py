@@ -68,18 +68,23 @@ class DeepLabV2(nn.Module):
                     param_dtype=jnp.float32, name=f"aspp_{d}")
             for d in (6, 12, 18, 24)]
 
-    def base_forward(self, x, *, train: bool, groups: int = 1):
+    def base_forward(self, x, *, train: bool, groups: int = 1,
+                     group_sizes=None, group_valid=None):
         h, w = x.shape[1:3]
-        c4 = self.backbone_net(x, train=train, groups=groups)[-1]
+        c4 = self.backbone_net(x, train=train, groups=groups,
+                               group_sizes=group_sizes,
+                               group_valid=group_valid)[-1]
         out = self.classifier[0](c4)
         for conv in self.classifier[1:]:
             out = out + conv(c4)
         return resize_align_corners(out, h, w)       # deeplabv2.py:30
 
     def __call__(self, x, *, train: bool = True, tta: bool = False,
-                 groups: int = 1):
+                 groups: int = 1, group_sizes=None, group_valid=None):
         if not tta:
-            return self.base_forward(x, train=train, groups=groups)
+            return self.base_forward(x, train=train, groups=groups,
+                                     group_sizes=group_sizes,
+                                     group_valid=group_valid)
         # multi-scale + hflip TTA (base.py:23-45), align_corners resizes
         h, w = x.shape[1:3]
         result = jnp.zeros((x.shape[0], h, w, self.nclass), jnp.float32)

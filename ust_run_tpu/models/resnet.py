@@ -35,22 +35,22 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, *, train: bool, groups: int = 1):
+    def __call__(self, x, *, train: bool, groups: int = 1,
+                 group_sizes=None, group_valid=None):
+        gkw = dict(train=train, groups=groups, group_sizes=group_sizes,
+                   group_valid=group_valid)
         identity = x
         out = _conv(self.planes, 1, name="conv1")(x)
-        out = nn.relu(GroupedBatchNorm(name="bn1")(out, train=train,
-                                                   groups=groups))
+        out = nn.relu(GroupedBatchNorm(name="bn1")(out, **gkw))
         out = _conv(self.planes, 3, self.stride, self.dilation,
                     name="conv2")(out)
-        out = nn.relu(GroupedBatchNorm(name="bn2")(out, train=train,
-                                                   groups=groups))
+        out = nn.relu(GroupedBatchNorm(name="bn2")(out, **gkw))
         out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
-        out = GroupedBatchNorm(name="bn3")(out, train=train, groups=groups)
+        out = GroupedBatchNorm(name="bn3")(out, **gkw)
         if self.downsample:
             identity = _conv(self.planes * self.expansion, 1, self.stride,
                              name="ds_conv")(x)
-            identity = GroupedBatchNorm(name="ds_bn")(identity, train=train,
-                                                      groups=groups)
+            identity = GroupedBatchNorm(name="ds_bn")(identity, **gkw)
         return nn.relu(out + identity)
 
 
@@ -59,12 +59,14 @@ class ResNet(nn.Module):
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True, groups: int = 1):
+    def __call__(self, x, *, train: bool = True, groups: int = 1,
+                 group_sizes=None, group_valid=None):
+        gkw = dict(train=train, groups=groups, group_sizes=group_sizes,
+                   group_valid=group_valid)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=kaiming_normal_out,
                     param_dtype=jnp.float32, name="conv1")(x)
-        x = nn.relu(GroupedBatchNorm(name="bn1")(x, train=train,
-                                                 groups=groups))
+        x = nn.relu(GroupedBatchNorm(name="bn1")(x, **gkw))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = []
@@ -78,12 +80,10 @@ class ResNet(nn.Module):
                 dilation *= stride
                 stride = 1
             x = Bottleneck(p, stride, prev_dilation, downsample=True,
-                           name=f"layer{stage + 1}_0")(x, train=train,
-                                                       groups=groups)
+                           name=f"layer{stage + 1}_0")(x, **gkw)
             for i in range(1, n):
                 x = Bottleneck(p, 1, dilation,
-                               name=f"layer{stage + 1}_{i}")(
-                    x, train=train, groups=groups)
+                               name=f"layer{stage + 1}_{i}")(x, **gkw)
             feats.append(x)
         return feats  # c1..c4 (resnet.py:173-183)
 

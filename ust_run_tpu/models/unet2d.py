@@ -40,9 +40,12 @@ class Norm(nn.Module):
     num_domains: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, domain_label=None, groups: int = 1):
+    def __call__(self, x, *, train: bool, domain_label=None, groups: int = 1,
+                 group_sizes=None, group_valid=None):
         if self.kind == "bn":
-            return GroupedBatchNorm()(x, train=train, groups=groups)
+            return GroupedBatchNorm()(x, train=train, groups=groups,
+                                      group_sizes=group_sizes,
+                                      group_valid=group_valid)
         if self.kind == "gn":
             # GroupNorm(1, C) == LayerNorm over (H,W,C) with affine per C
             return nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
@@ -80,20 +83,24 @@ class ConvD(nn.Module):
     num_domains: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, domain_label=None, groups: int = 1):
+    def __call__(self, x, *, train: bool, domain_label=None, groups: int = 1,
+                 group_sizes=None, group_valid=None):
         act = _act(self.activation)
         if not self.first:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = _conv(self.planes, 3, "conv1")(x)
         x = Norm(self.norm, self.num_domains, name="bn1")(
-            x, train=train, domain_label=domain_label, groups=groups)
+            x, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         y = _conv(self.planes, 3, "conv2")(x)
         y = Norm(self.norm, self.num_domains, name="bn2")(
-            y, train=train, domain_label=domain_label, groups=groups)
+            y, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         y = act(y)
         z = _conv(self.planes, 3, "conv3")(y)
         z = Norm(self.norm, self.num_domains, name="bn3")(
-            z, train=train, domain_label=domain_label, groups=groups)
+            z, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         return act(z)
 
 
@@ -107,22 +114,25 @@ class ConvU(nn.Module):
 
     @nn.compact
     def __call__(self, x, prev, *, train: bool, domain_label=None,
-                 groups: int = 1):
+                 groups: int = 1, group_sizes=None, group_valid=None):
         act = _act(self.activation)
         if not self.first:
             x = _conv(self.planes, 3, "conv1")(x)
             x = Norm(self.norm, self.num_domains, name="bn1")(
-                x, train=train, domain_label=domain_label, groups=groups)
+                x, train=train, domain_label=domain_label, groups=groups,
+                group_sizes=group_sizes, group_valid=group_valid)
             x = act(x)
         y = upsample2x(x)
         y = _conv(self.planes // 2, 1, "conv2")(y)
         y = Norm(self.norm, self.num_domains, name="bn2")(
-            y, train=train, domain_label=domain_label, groups=groups)
+            y, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         y = act(y)
         y = jnp.concatenate([prev, y], axis=-1)
         y = _conv(self.planes, 3, "conv3")(y)
         y = Norm(self.norm, self.num_domains, name="bn3")(
-            y, train=train, domain_label=domain_label, groups=groups)
+            y, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         return act(y)
 
 
@@ -135,20 +145,23 @@ class ConvURec(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool, domain_label=None,
-                 groups: int = 1):
+                 groups: int = 1, group_sizes=None, group_valid=None):
         act = _act(self.activation)
         x = _conv(self.planes // 2, 3, "conv1")(x)
         x = Norm(self.norm, self.num_domains, name="bn1")(
-            x, train=train, domain_label=domain_label, groups=groups)
+            x, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         x = act(x)
         y = upsample2x(x)
         y = _conv(self.planes // 2, 1, "conv2")(y)
         y = Norm(self.norm, self.num_domains, name="bn2")(
-            y, train=train, domain_label=domain_label, groups=groups)
+            y, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         y = act(y)
         y = _conv(self.planes // 2, 3, "conv3")(y)
         y = Norm(self.norm, self.num_domains, name="bn3")(
-            y, train=train, domain_label=domain_label, groups=groups)
+            y, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         return act(y)
 
 
@@ -161,9 +174,10 @@ class _Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool, domain_label=None,
-                 groups: int = 1):
+                 groups: int = 1, group_sizes=None, group_valid=None):
         n = self.n
-        kw = dict(train=train, domain_label=domain_label, groups=groups)
+        kw = dict(train=train, domain_label=domain_label, groups=groups,
+                  group_sizes=group_sizes, group_valid=group_valid)
         x1 = ConvD(n, self.norm, True, self.activation, self.num_domains,
                    name="convd1")(x, **kw)
         x2 = ConvD(2 * n, self.norm, False, self.activation,
@@ -185,10 +199,11 @@ class _UpPath(nn.Module):
 
     @nn.compact
     def __call__(self, feats, *, train: bool, domain_label=None,
-                 groups: int = 1):
+                 groups: int = 1, group_sizes=None, group_valid=None):
         n = self.n
         x1, x2, x3, x4, x5 = feats
-        kw = dict(train=train, domain_label=domain_label, groups=groups)
+        kw = dict(train=train, domain_label=domain_label, groups=groups,
+                  group_sizes=group_sizes, group_valid=group_valid)
         y4 = ConvU(16 * n, self.norm, True, self.activation,
                    self.num_domains, name="convu4")(x5, x4, **kw)
         y3 = ConvU(8 * n, self.norm, False, self.activation,
@@ -211,13 +226,15 @@ class Unet2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True, domain_label=None,
-                 groups: int = 1):
+                 groups: int = 1, group_sizes=None, group_valid=None):
         feats = _Backbone(self.c, self.n, self.norm, self.activation,
                           self.num_domains, name="enc")(
-            x, train=train, domain_label=domain_label, groups=groups)
+            x, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         y1, _, _, _ = _UpPath(self.n, self.norm, self.activation,
                               self.num_domains, name="dec")(
-            feats, train=train, domain_label=domain_label, groups=groups)
+            feats, train=train, domain_label=domain_label, groups=groups,
+            group_sizes=group_sizes, group_valid=group_valid)
         return _conv(self.num_classes, 3, "seg1")(y1)
 
 
