@@ -1,13 +1,18 @@
 #!/usr/bin/env python
-"""Per-stage device timing of the fused SSL step (fundus/UNet config).
+"""Per-stage device timing of the fused SSL step.
 
 Times each major stage as its own jitted program on the real chip:
 weak/strong augmentation, FDA, teacher 3-group forward, student 5-group
 value_and_grad, EMA/optimizer update. The sum roughly brackets the fused
 step (fusion across stages can only help). Prints a JSON breakdown used
 for the BENCH methodology and optimization targeting.
+
+--dataset picks the config profile (default fundus; MNMS probes the
+288px 4-class step); --skip-full skips the full-step timing (whose
+compile is the expensive part) for quick stage-only bisection.
 """
 
+import argparse
 import json
 import os
 import time
@@ -48,6 +53,13 @@ def timeit(fn, *args, n=20):
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="fundus")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full-step timing (expensive compile)")
+    ap.add_argument("--n", type=int, default=20)
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
@@ -63,21 +75,29 @@ if __name__ == "__main__":
     from ust_run_tpu.semisup.step import make_train_step
     from ust_run_tpu.utils import losses as L
 
-    cfg = TrainConfig(dataset="fundus").resolve()
+    cfg = TrainConfig(dataset=args.dataset).resolve()
+    prof = cfg.profile()
     hp = HyperParams.from_config(cfg)
     model = build_model(cfg)
     state = create_train_state(model, hp, 0)
     s = hp.patch
+    C = prof.num_channels
+    K = 3 if args.dataset == "MNMS" else 1   # label channels in the corpus
+    nc = prof.num_classes
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
-    img8 = jnp.asarray(rng.randint(0, 256, (8, s, s, 3)), jnp.float32)
-    lab8 = jnp.asarray(rng.choice([0, 128, 255], (8, s, s, 1)), jnp.float32)
+    img8 = jnp.asarray(rng.randint(0, 256, (8, s, s, C)), jnp.float32)
+    lab8 = jnp.asarray(rng.choice([0, 128, 255], (8, s, s, K)), jnp.float32)
     img4 = img8[:4]
-    x12 = jnp.asarray(rng.randn(12, s, s, 3), jnp.float32)
-    x20 = jnp.asarray(rng.randn(20, s, s, 3), jnp.float32)
+    x12 = jnp.asarray(rng.randn(12, s, s, C), jnp.float32)
+    x20 = jnp.asarray(rng.randn(20, s, s, C), jnp.float32)
     x1 = x12[:1]
-    pl2 = jnp.asarray(rng.rand(4, s, s, 2) > 0.5, jnp.float32)
-    mask2 = jnp.ones((4, s, s, 2), jnp.float32)
+    if prof.multilabel:
+        pl2 = jnp.asarray(rng.rand(4, s, s, nc) > 0.5, jnp.float32)
+        mask2 = jnp.ones((4, s, s, nc), jnp.float32)
+    else:
+        pl2 = jnp.asarray(rng.randint(0, nc, (4, s, s)), jnp.int32)
+        mask2 = jnp.ones((4, s, s, 1), jnp.float32)
 
     res = {}
 
@@ -112,8 +132,8 @@ if __name__ == "__main__":
         parts = jnp.split(logits, [4, 8, 12, 16, 20])
         total = 0.0
         for lg in parts[1:5]:
-            total += L.ce_plus_dice(lg, pl2, multilabel=True, n_classes=2,
-                                    mask=mask2)
+            total += L.ce_plus_dice(lg, pl2, multilabel=prof.multilabel,
+                                    n_classes=nc, mask=mask2)
         return total + 0.0 * jnp.sum(parts[5])
 
     grad_f0 = jax.jit(jax.value_and_grad(loss_fn))
@@ -135,33 +155,31 @@ if __name__ == "__main__":
     res["optimizer_ema"] = timeit(upd_f, state.params, state.ema_params,
                                   grads, opt_state)
 
-    step = make_train_step(model, hp)
-    data = {
-        "lb_img": jnp.asarray(rng.randint(0, 256, (64, s, s, 3)), jnp.uint8),
-        "lb_lab": jnp.asarray(rng.choice([0, 128, 255], (64, s, s, 1)),
-                              jnp.uint8),
-        "ulb_img": jnp.asarray(rng.randint(0, 256, (64, s, s, 3)),
-                               jnp.uint8),
-        "ulb_lab": jnp.asarray(rng.choice([0, 128, 255], (64, s, s, 1)),
-                               jnp.uint8),
-        "ulb_dc": jnp.ones((64,), jnp.int32),
-    }
-    idx = {"lb_idx": jnp.arange(4, dtype=jnp.int32),
-           "ulb_idx": jnp.arange(4, dtype=jnp.int32)}
+    if not args.skip_full:
+        step = make_train_step(model, hp)
+        data = {
+            "lb_img": jnp.asarray(rng.randint(0, 256, (64, s, s, C)),
+                                  jnp.uint8),
+            "lb_lab": jnp.asarray(rng.choice([0, 128, 255], (64, s, s, K)),
+                                  jnp.uint8),
+            "ulb_img": jnp.asarray(rng.randint(0, 256, (64, s, s, C)),
+                                   jnp.uint8),
+            "ulb_lab": jnp.asarray(rng.choice([0, 128, 255], (64, s, s, K)),
+                                   jnp.uint8),
+            "ulb_dc": jnp.ones((64,), jnp.int32),
+        }
+        idx = {"lb_idx": jnp.arange(4, dtype=jnp.int32),
+               "ulb_idx": jnp.arange(4, dtype=jnp.int32)}
 
-    def run_step(st):
+        st = state
         st, m = step(st, data, idx)
-        return st, m
-
-    st = state
-    st, m = step(st, data, idx)
-    np.asarray(m)
-    t0 = time.perf_counter()
-    n = 20
-    for _ in range(n):
-        st, m = step(st, data, idx)
-    np.asarray(m)
-    res["full_step"] = (time.perf_counter() - t0) / n * 1000
+        np.asarray(m)
+        t0 = time.perf_counter()
+        n = args.n
+        for _ in range(n):
+            st, m = step(st, data, idx)
+        np.asarray(m)
+        res["full_step"] = (time.perf_counter() - t0) / n * 1000
 
     res["stage_sum"] = sum(v for k, v in res.items()
                            if k not in ("full_step",))

@@ -14,6 +14,7 @@ Usage:
         python /root/repo/tools/ref_cpu_launch.py train.py --dataset ... args
 """
 
+import argparse
 import runpy
 import sys
 
@@ -24,6 +25,24 @@ torch.nn.Module.cuda = lambda self, *a, **k: self
 torch.cuda.manual_seed = lambda *a, **k: None
 torch.cuda.manual_seed_all = lambda *a, **k: None
 torch.cuda.is_available = lambda: False
+
+# Latent reference bug: train_mnms.py:318 reads `args.save_img` inside the
+# epoch%10==0 eval branch, but only test.py:31 defines that flag — an
+# unmodified train_mnms.py run crashes with AttributeError at the epoch-10
+# eval (observed 2026-08-18, iter-250 eval of the MNMS parity lane). Shim
+# the missing attribute to its store_true default (False) so long lanes
+# survive; behavior is identical to what the author's parser would produce.
+_orig_parse_args = argparse.ArgumentParser.parse_args
+
+
+def _parse_args(self, *a, **k):
+    ns = _orig_parse_args(self, *a, **k)
+    if ns is not None and not hasattr(ns, "save_img"):
+        ns.save_img = False
+    return ns
+
+
+argparse.ArgumentParser.parse_args = _parse_args
 
 
 def main():
