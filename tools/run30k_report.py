@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Summarize a full-budget training run's log.txt into RUN30K.md content:
-per-epoch throughput stability, best-dice trajectory, queue/choice_th
-behaviour, checkpoint cadence, and the mid-run kill+resume seam.
+"""Summarize a full-budget training run's log.txt into RUN30K.md/RUN60K
+content: per-epoch throughput stability, best-dice trajectory,
+queue/choice_th behaviour, checkpoint cadence, and the mid-run
+kill+resume seam. Handles both the train.py (cup/disc) and
+train_mnms.py (lv/myo/rv) log shapes.
 
 log.txt APPENDS across runs sharing a save_name, so by default the
 report covers only the LAST fresh (non---load) invocation onward —
@@ -30,13 +32,13 @@ def main():
         # slice at the last invocation that did NOT resume (--load):
         # that invocation plus its resumes form the current lineage
         fresh = [m for m in re.finditer(
-            r"^\[[0-9:.]+\] python train\.py.*$", text, flags=re.M)
+            r"^\[[0-9:.]+\] python train(?:_mnms)?\.py.*$", text, flags=re.M)
             if "--load" not in m.group(0)]
         if fresh:
             text = text[fresh[-1].start():]
 
-    starts = re.findall(r"^\[([0-9:.]+)\] python (train\.py.*)$", text,
-                        flags=re.M)
+    starts = re.findall(
+        r"^\[([0-9:.]+)\] python (train(?:_mnms)?\.py.*)$", text, flags=re.M)
     print("## invocations")
     for ts, cmd in starts:
         print(f"* `{ts}` `{cmd[:110]}`")
@@ -52,6 +54,14 @@ def main():
         r"(?:stu_)?val_cup_best_dice: ([\d.]+) at (\d+) iter, "
         r"(?:stu_)?val_disc_best_dice: ([\d.]+) at (\d+) iter, "
         r"val_best_avg_dice: ([\d.]+) at (\d+) iter", text)
+    part_names = ("cup", "disc")
+    if not bests:  # train_mnms.py shape (3 parts, train_mnms.py:372-388)
+        bests = [(m[0], m[1], m[2], m[3], m[6], m[7]) for m in re.findall(
+            r"(?:stu_)?val_lv_best_dice: ([\d.]+) at (\d+) iter, "
+            r"(?:stu_)?val_myo_best_dice: ([\d.]+) at (\d+) iter, "
+            r"(?:stu_)?val_rv_best_dice: ([\d.]+) at (\d+) iter, "
+            r"val_best_avg_dice: ([\d.]+) at (\d+) iter", text)]
+        part_names = ("lv", "myo")
     ckpts = re.findall(r"\[([0-9:.]+)\] save checkpoint to", text)
 
     print("## per-epoch throughput (images/s, sampled)")
@@ -68,8 +78,9 @@ def main():
               f"min={min(vals):.1f} max={max(vals):.1f}")
     if bests:
         b = bests[-1]
-        print(f"\nfinal best: cup {b[0]} @ iter {b[1]}, disc {b[2]} @ "
-              f"iter {b[3]}, avg {b[4]} @ iter {b[5]}")
+        print(f"\nfinal best: {part_names[0]} {b[0]} @ iter {b[1]}, "
+              f"{part_names[1]} {b[2]} @ iter {b[3]}, "
+              f"avg {b[4]} @ iter {b[5]}")
     print(f"checkpoint saves: {len(ckpts)} "
           f"(first {ckpts[0] if ckpts else '-'}, "
           f"last {ckpts[-1] if ckpts else '-'})")
