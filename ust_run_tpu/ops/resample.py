@@ -25,8 +25,21 @@ def bilinear_gather(img, rows, cols):
     taps: TPU gather throughput is per-row, so 4x-wider rows are ~4x
     faster (profiled: the tap gathers were the largest single cost of the
     fused train step).
+
+    GRAYSCALE (C=1) is channel-padded to 4 before the gather and sliced
+    back after: a (2,2,1) slice puts a degenerate size-1/size-2 extent in
+    the minormost dims and XLA's TPU gather emitter collapses to a
+    scalar path — measured 1.6 s for 8x288^2 images (the whole MNMS /
+    prostate train step was ~17x slower than fundus before this).
+    Padding to (2,2,4) u8 rows restores the vector emitter: 15.8 ms.
+    Casting to f32 or dropping the channel dim entirely do NOT fix it
+    (1.4 s / 1.6 s measured); 4 flat 1-element takes do (24 ms) but the
+    padded patch gather is faster still. Values are bit-identical: the
+    padded lanes are copies and are discarded.
     """
     h, w, c = img.shape
+    if c == 1:
+        img = jnp.concatenate([img] * 4, axis=-1)
     shape = rows.shape
     r0 = jnp.clip(jnp.floor(rows), 0, h - 2)
     c0 = jnp.clip(jnp.floor(cols), 0, w - 2)
@@ -45,8 +58,8 @@ def bilinear_gather(img, rows, cols):
         jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3), collapsed_slice_dims=(),
             start_index_map=(0, 1)),
-        slice_sizes=(2, 2, c),
-        mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
+        slice_sizes=(2, 2, img.shape[-1]),
+        mode=jax.lax.GatherScatterMode.CLIP)[..., :c]  # (N, 2, 2, C)
     # weighted sum of the four taps as ELEMENTWISE multiply-adds: unlike
     # the previous einsum (dot_general), this fuses with the u8->f32
     # convert of the gather output, so the 4x-wider f32 patch tensor is
