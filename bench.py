@@ -66,7 +66,11 @@ def main():
     from ust_run_tpu.semisup import HyperParams, create_train_state
     from ust_run_tpu.semisup.step import make_train_multi_step
 
-    cfg = TrainConfig(dataset="fundus").resolve()
+    # secondary datapoints: UST_BENCH_DATASET=MNMS|prostate|BUSI measures
+    # the same fused step at that dataset's shapes (288²/384²/256²,
+    # grayscale); the headline metric stays the default (fundus).
+    ds = os.environ.get("UST_BENCH_DATASET", "fundus")
+    cfg = TrainConfig(dataset=ds).resolve()
     cfg.unroll_steps = int(os.environ.get("UST_BENCH_UNROLL",
                                           cfg.unroll_steps))
     # secondary datapoints (e.g. the DeepLabV2 backbone-swap config):
@@ -83,14 +87,17 @@ def main():
     # resident in device HBM; steps receive only sampled indices.
     rng = np.random.RandomState(0)
     n_corpus = 256
+    s = hp.patch
+    C = cfg.profile().num_channels
+    K = 3 if ds == "MNMS" else 1      # label channels in the corpus
     data = {
-        "lb_img": rng.randint(0, 256, (n_corpus, 256, 256, 3)
+        "lb_img": rng.randint(0, 256, (n_corpus, s, s, C)
                               ).astype(np.uint8),
-        "lb_lab": rng.choice([0, 128, 255], (n_corpus, 256, 256, 1)
+        "lb_lab": rng.choice([0, 128, 255], (n_corpus, s, s, K)
                              ).astype(np.uint8),
-        "ulb_img": rng.randint(0, 256, (n_corpus, 256, 256, 3)
+        "ulb_img": rng.randint(0, 256, (n_corpus, s, s, C)
                                ).astype(np.uint8),
-        "ulb_lab": rng.choice([0, 128, 255], (n_corpus, 256, 256, 1)
+        "ulb_lab": rng.choice([0, 128, 255], (n_corpus, s, s, K)
                               ).astype(np.uint8),
         "ulb_dc": np.ones(n_corpus, np.int32),
     }
@@ -123,8 +130,11 @@ def main():
 
     _done.set()
     imgs_per_sec = (cfg.label_bs + cfg.unlabel_bs) / dt
+    metric = "ssl_train_images_per_sec_per_chip"
+    if ds != "fundus":
+        metric += f"_{ds}"
     print(json.dumps({
-        "metric": "ssl_train_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(imgs_per_sec, 2),
         "unit": "images/s",
         "vs_baseline": round(imgs_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),
