@@ -234,3 +234,23 @@ def test_weak_augment_batch_not_degenerate():
                                     64, 255)
     black = (np.asarray(out_img) < 1.0).mean(axis=(1, 2, 3))
     assert black.max() < 0.5, black
+
+
+def test_bilinear_gather_single_channel_is_padded():
+    """Structural pin for the grayscale gather fix (PERF.md §grayscale).
+
+    A (2,2,1) patch gather drops XLA's TPU emitter onto a scalar path
+    (measured 1.6 s vs 16 ms for 8x288² images — the MNMS/prostate step
+    was 13x slower than fundus). bilinear_gather must channel-pad C=1
+    sources to 4 before the gather; assert the lowered gather really
+    fetches (2,2,4) slices so a future 'simplification' can't silently
+    reintroduce the pathology. Value-parity of the padded path is
+    covered by test_bilinear_gather_matches_map_coordinates (C=1).
+    """
+    low = jax.jit(bilinear_gather).lower(
+        jax.ShapeDtypeStruct((16, 16, 1), jnp.uint8),
+        jax.ShapeDtypeStruct((4, 4), jnp.float32),
+        jax.ShapeDtypeStruct((4, 4), jnp.float32)).as_text()
+    gathers = [l for l in low.splitlines() if "stablehlo.gather" in l]
+    assert gathers and all("array<i64: 2, 2, 4>" in g for g in gathers), \
+        gathers
