@@ -77,6 +77,14 @@ def main():
     # UST_BENCH_MODEL=deeplabv2_r50 measures the same fused step on that
     # model; the headline metric stays the default (unet).
     cfg.model = os.environ.get("UST_BENCH_MODEL", cfg.model)
+    # batch-scaling datapoint: UST_BENCH_BATCH=8 runs the same fused step
+    # at 8 labeled + 8 unlabeled. The headline stays the reference's 4+4
+    # (train.py:56-57) — this knob measures how throughput scales when a
+    # framework user raises the batch beyond the reference's operating
+    # point (the per-image fixed costs amortize; see PERF.md).
+    bench_bs = int(os.environ.get("UST_BENCH_BATCH", "0"))
+    if bench_bs:
+        cfg.label_bs = cfg.unlabel_bs = bench_bs
     hp = HyperParams.from_config(cfg)
     model = build_model(cfg)
     state = create_train_state(model, hp, 0)
@@ -104,9 +112,9 @@ def main():
     data = {k: jax.device_put(v) for k, v in data.items()}
 
     def idx_batch():
-        return {"lb_idx": rng.randint(0, n_corpus, (unroll, 4)
+        return {"lb_idx": rng.randint(0, n_corpus, (unroll, cfg.label_bs)
                                       ).astype(np.int32),
-                "ulb_idx": rng.randint(0, n_corpus, (unroll, 4)
+                "ulb_idx": rng.randint(0, n_corpus, (unroll, cfg.unlabel_bs)
                                        ).astype(np.int32)}
 
     # compile + warmup
@@ -133,6 +141,10 @@ def main():
     metric = "ssl_train_images_per_sec_per_chip"
     if ds != "fundus":
         metric += f"_{ds}"
+    if cfg.model != "unet":
+        metric += f"_{cfg.model}"
+    if bench_bs:
+        metric += f"_b{bench_bs}"
     # BASELINE_METHOD.md derives the 20 img/s denominator at the fundus
     # 256² patch; the per-iteration cost model is FLOPs-dominated, so for
     # other patches the reference denominator scales by pixel count.
