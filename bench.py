@@ -151,7 +151,7 @@ def main():
     px_scale = (s / 256.0) ** 2
     base = REFERENCE_GPU_IMG_PER_SEC / px_scale
     base_range = (REFERENCE_RANGE[0] / px_scale, REFERENCE_RANGE[1] / px_scale)
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(imgs_per_sec, 2),
         "unit": "images/s",
@@ -162,7 +162,18 @@ def main():
         "baseline_img_per_sec": round(base, 2),
         "baseline_basis": "BASELINE_METHOD.md (flops model + measured "
                           "host overheads; ref publishes no numbers)",
-    }))
+    }
+    if bench_bs:
+        # The 20 img/s denominator is derived at the reference's own 4+4
+        # operating point; a batched datapoint has no like-for-like
+        # baseline, so don't emit a speedup ratio for it.
+        out["vs_baseline"] = None
+        out["vs_baseline_range"] = None
+        out["baseline_basis"] = (
+            "raw img/s only: baseline denominator is defined at the "
+            "reference 4+4 batch (BASELINE_METHOD.md), not at bs=%d" %
+            bench_bs)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -124,3 +124,27 @@ def test_contour_overlay_variants(tmp_path):
     path = tmp_path / "c.png"
     V.draw_contour_and_save(img, pred, gt, str(path))
     assert path.exists()
+
+
+def test_windowed_best_avg_is_spike_robust():
+    """VERDICT r3 item 5: the stabilized student metric must ignore
+    single-eval collapses/spikes (the reference student's signature
+    instability) while tracking the true plateau level."""
+    import sys
+    sys.path.insert(0, "tools")
+    from parity_report import windowed_best_avg
+
+    def recs(vals):
+        return [{"model": "stu", "dice": {"p": v}} for v in vals]
+
+    # a single-point spike to 0.99 must NOT set the best
+    spiky = recs([0.50, 0.60, 0.99, 0.61, 0.62])
+    assert abs(windowed_best_avg(spiky, "stu") - 0.62) < 1e-9
+    # a single-point collapse must not drag the best down either
+    collapse = recs([0.80, 0.82, 0.05, 0.83, 0.81])
+    assert abs(windowed_best_avg(collapse, "stu") - 0.82) < 1e-9
+    # monotone trajectories keep their max (last full window's median)
+    mono = recs([0.1, 0.2, 0.3, 0.4, 0.5])
+    assert abs(windowed_best_avg(mono, "stu") - 0.4) < 1e-9
+    # short sequences fall back to the plain median
+    assert abs(windowed_best_avg(recs([0.3, 0.7]), "stu") - 0.7) < 1e-9

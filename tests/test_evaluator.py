@@ -68,6 +68,25 @@ def test_tail_batches_are_exact(setup, caplog):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_indivisible_eval_batch_stays_sharded(setup, caplog):
+    """eval_batch=6 on an 8-device mesh: the evaluator pads each dispatch
+    batch to the next mesh multiple (VERDICT r3 item 8) instead of
+    replicating, and the numbers are unchanged."""
+    hp, model, state, datasets = setup
+    ev1 = _run(hp, model, state, datasets, 6)
+    with caplog.at_level(logging.INFO):
+        evm = _run(hp, model, state, datasets, 6,
+                   mesh=make_mesh(8, spatial=1))
+    assert evm._pad_rows == 2
+    assert any("padding dispatch batches" in r.message
+               for r in caplog.records)
+    d1 = ev1.run(state.params, state.batch_stats, 0, ema=False)
+    dm = evm.run(state.params, state.batch_stats, 0, ema=False)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dm),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_eval_matches_single(setup):
     hp, model, state, datasets = setup
     ev1 = _run(hp, model, state, datasets, 8)

@@ -47,20 +47,24 @@ class Evaluator:
         self.n_part = len(parts)
         self.compute_boundary = compute_boundary
         self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pad_rows = 0
         jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
             batch = len(test_loaders[0].ds) and test_loaders[0].batch
-            if batch and batch % mesh.shape["data"] == 0:
-                bsh = NamedSharding(mesh, P("data"))
-            else:  # indivisible eval batch: replicate rather than fail
-                import logging
+            axis = mesh.shape["data"]
+            if batch and batch % axis:
+                # Indivisible eval batch: pad each dispatched batch up to
+                # the next mesh multiple instead of replicating — the
+                # validity mask already nulls padded rows, so results are
+                # identical and eval stays sharded on "data".
+                self._pad_rows = (-batch) % axis
                 logging.info(
                     "eval batch %s not divisible by data axis %s: "
-                    "replicating the eval forward (no eval parallelism)",
-                    batch, mesh.shape["data"])
-                bsh = repl
+                    "padding dispatch batches by %s rows to keep eval "
+                    "sharded", batch, axis, self._pad_rows)
+            bsh = NamedSharding(mesh, P("data"))
             jit_kwargs = dict(in_shardings=(repl, repl, bsh, bsh))
         self._fwd = jax.jit(self._forward, **jit_kwargs)
 
@@ -144,9 +148,15 @@ class Evaluator:
             n = 0
             futures = []
             for batch in loader:
-                dice, loss, pred_parts, mask_parts = self._fwd(
-                    params, batch_stats, batch["image"], batch["label"])
+                img, lab = batch["image"], batch["label"]
                 valid = batch["valid"]
+                if self._pad_rows:
+                    r = self._pad_rows
+                    img = np.pad(img, ((0, r),) + ((0, 0),) * (img.ndim - 1))
+                    lab = np.pad(lab, ((0, r),) + ((0, 0),) * (lab.ndim - 1))
+                    valid = np.concatenate([valid, np.zeros(r, bool)])
+                dice, loss, pred_parts, mask_parts = self._fwd(
+                    params, batch_stats, img, lab)
                 k = int(valid.sum())
                 dice = np.asarray(dice)[:, valid]           # (P, k)
                 dom_dice += dice.sum(axis=1)
