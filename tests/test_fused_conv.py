@@ -20,7 +20,9 @@ def _mk(b, h, w, c, co, dtype, seed=0):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-@pytest.mark.parametrize("shape", [(2, 16, 16, 8, 8), (1, 32, 24, 16, 8)])
+@pytest.mark.parametrize("shape", [(2, 16, 16, 8, 8), (1, 32, 24, 16, 8),
+                                   (1, 16, 16, 64, 16)])  # P=2: the pack
+                                   # factor the 64-ch U-Net levels use
 def test_matches_xla_chain(dtype, shape):
     b, h, w, c, co = shape
     y, inv, shift, wk = _mk(b, h, w, c, co, dtype)

@@ -82,8 +82,8 @@ def _kernel(y_hbm, inv_ref, shift_ref, w_ref, out_ref, s1_ref, s2_ref,
                               slab.at[pl.ds(R + 1, 1)], sems.at[2]).wait()
 
     # --- BN-apply + ReLU in f32, into the zero-edged padded scratch ---
-    inv = inv_ref[0].astype(jnp.float32)        # (C,)
-    shift = shift_ref[0].astype(jnp.float32)    # (C,)
+    inv = inv_ref[b].astype(jnp.float32)        # (C,)
+    shift = shift_ref[b].astype(jnp.float32)    # (C,)
     a = jnp.maximum(slab[:].astype(jnp.float32) * inv - shift, 0.0)
     apad[:, 0:1, :] = jnp.zeros_like(apad[:, 0:1, :])
     apad[:, W + 1:W + 2, :] = jnp.zeros_like(apad[:, W + 1:W + 2, :])
@@ -116,18 +116,47 @@ def _kernel(y_hbm, inv_ref, shift_ref, w_ref, out_ref, s1_ref, s2_ref,
     out_ref[0] = acc.astype(out_ref.dtype)
 
     # --- per-sample moment epilogue (feeds the next GroupedBatchNorm) ---
-    s1 = jnp.sum(acc, axis=(0, 1))[None]        # (1, Co) f32
-    s2 = jnp.sum(jnp.square(acc), axis=(0, 1))[None]
+    # s1/s2 are full-(B, Co) VMEM blocks (constant index map keeps them
+    # resident across the whole grid; a (1, Co) per-sample block would
+    # violate Mosaic's sublane rule — second-to-last block dim must be
+    # divisible by 8 or equal the array dim). Row b is initialized at
+    # its own i==0 step, so no global zero-init pass is needed.
+    s1 = jnp.sum(acc, axis=(0, 1))              # (Co,) f32
+    s2 = jnp.sum(jnp.square(acc), axis=(0, 1))
 
     @pl.when(i == 0)
     def _():
-        s1_ref[:] = s1
-        s2_ref[:] = s2
+        s1_ref[b] = s1
+        s2_ref[b] = s2
 
     @pl.when(i > 0)
     def _():
-        s1_ref[:] = s1_ref[:] + s1
-        s2_ref[:] = s2_ref[:] + s2
+        s1_ref[b] = s1_ref[b] + s1
+        s2_ref[b] = s2_ref[b] + s2
+
+
+def _pack_weights(w, P):
+    """Banded column-packing of a 3x3 HWIO kernel.
+
+    With P spatial columns folded into the channel dim (packed col u
+    holds global cols P*u..P*u+P-1), the column-shift structure of the
+    3x3 conv becomes a banded block matrix over pack-shifts
+    s in {-1,0,1}: packed input block j_in of pack u+s contributes to
+    packed output block j_out of pack u through the original tap
+    K[dr, dw] with dw = P*s + j_in - j_out, kept iff |dw| <= 1.
+    Returns (3, 3, P*C, P*Co): [row-tap dr, pack-shift s+1, ...].
+    For P=1 this reduces exactly to the original (3, 3, C, Co)."""
+    C, Co = w.shape[2], w.shape[3]
+    wp = jnp.zeros((3, 3, P * C, P * Co), w.dtype)
+    for s in (-1, 0, 1):
+        for j_in in range(P):
+            for j_out in range(P):
+                dw = P * s + j_in - j_out
+                if -1 <= dw <= 1:
+                    wp = wp.at[:, s + 1,
+                               j_in * C:(j_in + 1) * C,
+                               j_out * Co:(j_out + 1) * Co].set(w[:, dw + 1])
+    return wp
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -147,46 +176,67 @@ def bn_relu_conv3x3(y, inv_n, shift_n, w, *, block_rows=32,
       (out, m1, m2): out (B, H, W, Co) in y.dtype; m1/m2 (B, Co) f32
       per-sample mean and mean-of-square of out — the inputs to
       GroupedBatchNorm's group-average stage.
+
+    Channel packing: Mosaic requires HBM slices to be whole 128-lane
+    tiles, so a C<128 tensor (physically lane-padded in HBM) cannot be
+    row-slab-DMA'd directly. We instead fold P = 128//C spatial columns
+    into the channel dim — y.reshape(B, H, W/P, P*C), a contiguous
+    view — and run the SAME kernel on the packed shape with banded
+    packed weights (_pack_weights). Bonus: the MXU contraction width
+    goes from C to 128, so the 64-channel U-Net levels run the matmuls
+    at full systolic-array width instead of half.
     """
     B, H, W, C = y.shape
     co = w.shape[-1]
     R = block_rows
     assert H % R == 0, (H, R)
-    wk = jnp.reshape(w.astype(y.dtype), (9, C, co))
+
+    P = 1
+    if C < 128 and 128 % C == 0 and W % (128 // C) == 0:
+        P = 128 // C
+    if P > 1:
+        y = jnp.reshape(y, (B, H, W // P, P * C))
+        inv_n = jnp.tile(inv_n, (1, P))
+        shift_n = jnp.tile(shift_n, (1, P))
+        w = _pack_weights(w, P)
+    Wp, Cp, cop = W // P, P * C, P * co
+    wk = jnp.reshape(w.astype(y.dtype), (9, Cp, cop))
 
     grid = (B, H // R)
     out, s1, s2 = pl.pallas_call(
-        functools.partial(_kernel, R=R, W=W, C=C, H=H),
+        functools.partial(_kernel, R=R, W=Wp, C=Cp, H=H),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # y (HBM)
-            pl.BlockSpec((1, C), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),              # inv_n
-            pl.BlockSpec((1, C), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),              # shift_n
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # inv_n (B,Cp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # shift_n
             pl.BlockSpec(memory_space=pltpu.VMEM),              # weights
         ],
         out_specs=(
-            pl.BlockSpec((1, R, W, co), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, R, Wp, cop), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda b, i: (b, 0),
+            pl.BlockSpec((B, cop), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda b, i: (b, 0),
+            pl.BlockSpec((B, cop), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, W, co), y.dtype),
-            jax.ShapeDtypeStruct((B, co), jnp.float32),
-            jax.ShapeDtypeStruct((B, co), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Wp, cop), y.dtype),
+            jax.ShapeDtypeStruct((B, cop), jnp.float32),
+            jax.ShapeDtypeStruct((B, cop), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R + 2, W, C), y.dtype),          # halo slab
-            pltpu.VMEM((R + 2, W + 2, C), y.dtype),      # padded relu(bn)
+            pltpu.VMEM((R + 2, Wp, Cp), y.dtype),         # halo slab
+            pltpu.VMEM((R + 2, Wp + 2, Cp), y.dtype),     # padded relu(bn)
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(y, inv_n, shift_n, wk)
     hw = jnp.float32(H * W)
+    if P > 1:
+        out = jnp.reshape(out, (B, H, W, co))
+        s1 = jnp.sum(jnp.reshape(s1, (B, P, co)), axis=1)
+        s2 = jnp.sum(jnp.reshape(s2, (B, P, co)), axis=1)
     return out, s1 / hw, s2 / hw
 
 
