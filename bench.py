@@ -85,6 +85,10 @@ def main():
     bench_bs = int(os.environ.get("UST_BENCH_BATCH", "0"))
     if bench_bs:
         cfg.label_bs = cfg.unlabel_bs = bench_bs
+    # A/B knob: UST_BENCH_PACK=0 benches the plain NHWC level-1 layout
+    # (models/unet.py pack_l1). The headline default is the packed layout
+    # (cfg.pack_l1=1), the shipping configuration.
+    cfg.pack_l1 = int(os.environ.get("UST_BENCH_PACK", cfg.pack_l1))
     hp = HyperParams.from_config(cfg)
     model = build_model(cfg)
     state = create_train_state(model, hp, 0)

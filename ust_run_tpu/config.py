@@ -130,6 +130,10 @@ class TrainConfig:
     # (train.py:743 vs :822 — see semisup.step.HyperParams.lq_loss);
     # False reproduces the reference objective exactly.
     lq_consistency: bool = False
+    # Run the U-Net's 64-channel level 1 in W-packed layout (exact; two
+    # spatial columns folded into channels fill the 128-lane MXU —
+    # models/unet.py pack_l1). 1 = on (default), 0 = plain NHWC.
+    pack_l1: int = 1
 
     def profile(self) -> DatasetProfile:
         p = PROFILES[self.dataset]
@@ -233,6 +237,10 @@ def build_parser(default_dataset="BUSI", mnms=False) -> argparse.ArgumentParser:
                         help="apply the LQ consistency term (dead code "
                              "upstream, train.py:743 vs :822; off = "
                              "reference-faithful objective)")
+    parser.add_argument("--pack_l1", type=int, default=1,
+                        help="W-packed 64-channel U-Net level 1 (exact "
+                             "layout change, fills the 128-lane MXU); "
+                             "0 = plain NHWC")
     return parser
 
 

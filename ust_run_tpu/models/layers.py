@@ -80,8 +80,13 @@ class GroupedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool, groups: int = 1,
-                 group_sizes=None, group_valid=None):
-        c = x.shape[-1]
+                 group_sizes=None, group_valid=None, packed: bool = False):
+        # `packed`: x is in W-packed layout (n, h, w/2, 2c) — logical
+        # channel k lives in lanes k and k+c (ops/packing.py). Stats fold
+        # the two lane blocks (an exact resummation of the same pixels);
+        # params and running stats stay (c,), so checkpoints are
+        # layout-independent.
+        c = x.shape[-1] // 2 if packed else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -89,12 +94,16 @@ class GroupedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
+        def lanes(v):       # (..., c) -> per-lane view of the x layout
+            return jnp.concatenate([v, v], axis=-1) if packed else v
+
         out_dtype = self.dtype or x.dtype
         if not train:
             mean = ra_mean.value
             var = ra_var.value
             inv = jax.lax.rsqrt(var + self.eps) * scale
-            y = (x.astype(jnp.float32) - mean) * inv + bias
+            y = (x.astype(jnp.float32) - lanes(mean)) * lanes(inv) \
+                + lanes(bias)
             return y.astype(out_dtype)
 
         n, h, w, _ = x.shape
@@ -118,6 +127,9 @@ class GroupedBatchNorm(nn.Module):
         # no f32 copy of the activation is materialized.
         m1 = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)          # (n, c)
         m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        if packed:          # fold the two lane blocks of each channel
+            m1 = 0.5 * (m1[:, :c] + m1[:, c:])
+            m2 = 0.5 * (m2[:, :c] + m2[:, c:])
         if equal:
             mean = jnp.mean(m1.reshape(g, n // g, c), axis=1)
             mean2 = jnp.mean(m2.reshape(g, n // g, c), axis=1)
@@ -144,8 +156,9 @@ class GroupedBatchNorm(nn.Module):
         # folded as x*inv - (mean*inv - bias) so the bf16 tensor is
         # touched by one fused multiply-add; statistics stay f32.
         shift = mean_n * inv_n - bias_n                           # (n, c) f32
-        y = x.astype(out_dtype) * inv_n[:, None, None, :].astype(out_dtype) \
-            - shift[:, None, None, :].astype(out_dtype)
+        y = x.astype(out_dtype) \
+            * lanes(inv_n)[:, None, None, :].astype(out_dtype) \
+            - lanes(shift)[:, None, None, :].astype(out_dtype)
 
         if self.is_mutable_collection("batch_stats"):
             cnt = jnp.asarray([s * h * w for s in group_sizes], jnp.float32)
@@ -172,6 +185,131 @@ def conv3x3(features, dtype=None, name=None):
     return nn.Conv(features, (3, 3), padding=1, use_bias=False,
                    kernel_init=torch_conv_kernel_init, dtype=dtype,
                    param_dtype=jnp.float32, name=name)
+
+
+# ---------------------------------------------------------------------------
+# W-packed (P=2) variants of the level-1 layers.
+#
+# 64-channel tensors leave the 128-wide MXU contracting at half width;
+# at the U-Net level-1 shape the packed conv measures 1.4-1.6x faster
+# fwd+bwd despite its banded weights carrying structural zeros (2x dense
+# FLOPs). Each module creates EXACTLY the same parameter (name, shape,
+# init) as the unpacked layer it replaces and transforms it in-trace
+# (ops/packing.py), so checkpoints, init statistics, and torch-oracle
+# parity are layout-independent. Give them the unpacked layer's
+# auto-name (name="Conv_0", ...) when swapping in.
+# ---------------------------------------------------------------------------
+
+
+class PackedConv3x3(nn.Module):
+    """conv3x3 on a P=2 W-packed input (banded packed weights).
+
+    `in_splits`: original channel widths of the concatenated packed
+    inputs (e.g. (64, 64) after a skip concat of two packed tensors)."""
+    features: int
+    in_splits: tuple = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ust_run_tpu.ops.packing import pack2_weights_split
+        cin = x.shape[-1] // 2
+        splits = self.in_splits or (cin,)
+        assert sum(splits) == cin, (splits, cin)
+        w = self.param("kernel", torch_conv_kernel_init,
+                       (3, 3, cin, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        wp = pack2_weights_split(w, splits).astype(dt)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), wp, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class PackedStemConv3x3(nn.Module):
+    """conv3x3 from an UNPACKED input to a P=2 W-packed output:
+    stride-(1,2) kernel-(3,4) conv, padding ((1,1),(1,2))."""
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ust_run_tpu.ops.packing import pack2_stem_weights
+        cin = x.shape[-1]
+        w = self.param("kernel", torch_conv_kernel_init,
+                       (3, 3, cin, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        wp = pack2_stem_weights(w).astype(dt)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), wp, (1, 2), ((1, 1), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class PackedConvTranspose2x2(nn.Module):
+    """2x2 stride-2 VALID ConvTranspose producing a P=2 W-packed output:
+    H-only (2,1)-stride transpose conv with the W taps folded into the
+    output blocks (ops/packing.py:pack2_convT_weights)."""
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ust_run_tpu.ops.packing import pack2_convT_weights
+        cin = x.shape[-1]
+        w = self.param("kernel", torch_convT_kernel_init,
+                       (2, 2, cin, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init(cin), (self.features,),
+                       jnp.float32)
+        dt = self.dtype or x.dtype
+        wp = pack2_convT_weights(w).astype(dt)
+        y = jax.lax.conv_transpose(
+            x.astype(dt), wp, (2, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.concatenate([b, b]).astype(dt)
+
+
+class PackedOutConv(nn.Module):
+    """1x1 out conv on a P=2 W-packed input; returns UNPACKED logits
+    (the unpack of the tiny class-channel tensor is the only layout
+    conversion on the packed path)."""
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ust_run_tpu.ops.packing import pack2_pointwise_weights
+        n, h, w2, cin2 = x.shape
+        cin = cin2 // 2
+        w = self.param("kernel", torch_conv_kernel_init,
+                       (1, 1, cin, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init(cin), (self.features,),
+                       jnp.float32)
+        dt = self.dtype or x.dtype
+        wp = pack2_pointwise_weights(w).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), wp, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.concatenate([b, b]).astype(dt)
+        return jnp.reshape(y, (n, h, 2 * w2, self.features))
+
+
+def packed_pool_entry(x):
+    """2x2 stride-2 max pool consuming a P=2 W-packed tensor, emitting
+    the UNPACKED pooled tensor for the next (wider) level. The W max is
+    an elementwise max of the two lane blocks; the H max is a (2,1)
+    window pool. Tie note: jnp.maximum splits the gradient 0.5/0.5 at
+    exact ties where reduce_window routes it all to the first element;
+    ties here are ReLU zeros, whose upstream gradient ReLU's backward
+    kills either way."""
+    n, h, w2, c2 = x.shape
+    c = c2 // 2
+    y = jnp.maximum(x[..., :c], x[..., c:])
+    return nn.max_pool(y, (2, 1), strides=(2, 1))
+
+
+def unpack2(x):
+    """(n, h, w/2, 2c) W-packed -> (n, h, w, c); contiguous reshape."""
+    n, h, w2, c2 = x.shape
+    return jnp.reshape(x, (n, h, 2 * w2, c2 // 2))
 
 
 def max_pool_2x2(x):

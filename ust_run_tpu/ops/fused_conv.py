@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ust_run_tpu.ops.packing import pack_weights as _pack_weights
+
 
 def _kernel(y_hbm, inv_ref, shift_ref, w_ref, out_ref, s1_ref, s2_ref,
             slab, apad, sems, *, R, W, C, H):
@@ -135,28 +137,6 @@ def _kernel(y_hbm, inv_ref, shift_ref, w_ref, out_ref, s1_ref, s2_ref,
         s2_ref[b] = s2_ref[b] + s2
 
 
-def _pack_weights(w, P):
-    """Banded column-packing of a 3x3 HWIO kernel.
-
-    With P spatial columns folded into the channel dim (packed col u
-    holds global cols P*u..P*u+P-1), the column-shift structure of the
-    3x3 conv becomes a banded block matrix over pack-shifts
-    s in {-1,0,1}: packed input block j_in of pack u+s contributes to
-    packed output block j_out of pack u through the original tap
-    K[dr, dw] with dw = P*s + j_in - j_out, kept iff |dw| <= 1.
-    Returns (3, 3, P*C, P*Co): [row-tap dr, pack-shift s+1, ...].
-    For P=1 this reduces exactly to the original (3, 3, C, Co)."""
-    C, Co = w.shape[2], w.shape[3]
-    wp = jnp.zeros((3, 3, P * C, P * Co), w.dtype)
-    for s in (-1, 0, 1):
-        for j_in in range(P):
-            for j_out in range(P):
-                dw = P * s + j_in - j_out
-                if -1 <= dw <= 1:
-                    wp = wp.at[:, s + 1,
-                               j_in * C:(j_in + 1) * C,
-                               j_out * Co:(j_out + 1) * Co].set(w[:, dw + 1])
-    return wp
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
