@@ -211,3 +211,104 @@ def test_lq_loss_flag_semantics():
                                rtol=1e-5)
     assert np.isclose(float(m_off2["mask_ratio"]),
                       float(m_on2["mask_ratio"]), rtol=1e-6, atol=0)
+
+
+def test_hardness_fold_matches_split(prostate_setup):
+    """The shipped step folds ALL SIX student passes — the grad-free
+    hardness forward (train.py:668) plus the five loss passes
+    (train.py:699-702, 740) — into one 21-image six-group BN call. The
+    reference runs them as separate sequential forwards. This test pins
+    the end-to-end equivalence of the fold against the reference-shaped
+    split form [1-group w forward, then 17-image 5-group call seeded
+    from its running stats]: loss, grads, final batch_stats, and the
+    hardness logits must agree on identical inputs (CPU, f32). It fails
+    if the fold order ever drifts from the reference's forward order
+    [w, lb, ul, lu, s, lq]. (r4 shipped the split as a perf rewrite; the
+    r5 on-chip A/B measured it at -6.7% img/s and reverted to the fold —
+    PERF.md dead-end table — so the fold is now the shipping form and
+    the split is the oracle.)"""
+    from ust_run_tpu.semisup.step import make_step_parts
+    from ust_run_tpu.utils import losses as L
+
+    hp, model, _ = prostate_setup
+    step_fn, build_inputs, loss_terms = make_step_parts(model, hp)
+    b_lb, b_ulb = hp.label_bs, hp.unlabel_bs
+
+    data = fake_data(hp, seed=11)
+    state = create_train_state(model, hp, seed=11)
+    # one real step first so the LQ carry is valid and the queue may be
+    # non-empty — the 6th (LQ) group's conditional stat fold is exercised
+    state, _ = jax.jit(step_fn)(state, data, fake_batch(hp, seed=11))
+    inp = jax.jit(build_inputs)(state, data, fake_batch(hp, seed=12))
+
+    # SHIPPED path: the 21-image six-group fold
+    (loss_fold, aux_fold), grads_fold = jax.jit(jax.value_and_grad(
+        loss_terms, has_aux=True))(state.params, state, inp)
+
+    # ORACLE path: reference-shaped split — grad-free 1-group hardness
+    # forward first (train.py:668), then the 17-image 5-group call
+    # seeded from its running stats (train.py:699-702, 740)
+    def split_form(params):
+        stu_w, upd_w = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            inp["ulb_x_w"], train=True, groups=1,
+            mutable=["batch_stats"])
+        stu_in = jnp.concatenate(
+            [inp["lb_x_w"], inp["ulb_x_s_ul"], inp["ulb_x_s_lu"],
+             inp["ulb_x_s"], inp["lq_s"]])
+        sizes = (b_lb, b_ulb, b_ulb, b_ulb, 1)
+        valid5 = jnp.concatenate(
+            [jnp.ones((4,), jnp.bool_), jnp.reshape(inp["lq_valid"], (1,))])
+        logits, upd = model.apply(
+            {"params": params, "batch_stats": upd_w["batch_stats"]},
+            stu_in, train=True, group_sizes=sizes, group_valid=valid5,
+            mutable=["batch_stats"])
+        bounds = [b_lb, b_lb + b_ulb, b_lb + 2 * b_ulb, b_lb + 3 * b_ulb]
+        (l_lb, l_ul, l_lu, l_s, _l_lq) = jnp.split(logits, bounds)
+        sup = L.ce_plus_dice(l_lb, inp["lb_mask"], multilabel=hp.multilabel,
+                             n_classes=hp.num_classes)
+        ul = L.ce_plus_dice(l_ul, inp["pseudo_label_ul"],
+                            multilabel=hp.multilabel,
+                            n_classes=hp.num_classes, mask=inp["mask_ul"])
+        lu = L.ce_plus_dice(l_lu, inp["pseudo_label_lu"],
+                            multilabel=hp.multilabel,
+                            n_classes=hp.num_classes, mask=inp["mask_lu"])
+        s_ = L.ce_plus_dice(l_s, inp["pseudo_label_w"],
+                            multilabel=hp.multilabel,
+                            n_classes=hp.num_classes, mask=inp["mask_w"])
+        cw = inp["cons_w"]
+        total = sup + cw * (ul + lu + cw * s_)
+        return total, (upd["batch_stats"],
+                       jax.lax.stop_gradient(stu_w))
+
+    (loss_split, (bs_split, stu_w_split)), grads_split = jax.jit(
+        jax.value_and_grad(split_form, has_aux=True))(state.params)
+
+    # hardness logits: group 0 of the fold == the split 1-group call
+    np.testing.assert_allclose(np.asarray(aux_fold["stu_logits_w"]),
+                               np.asarray(stu_w_split),
+                               rtol=2e-5, atol=2e-5)
+    # loss identical
+    np.testing.assert_allclose(float(loss_fold), float(loss_split),
+                               rtol=1e-6, atol=0)
+    # final running stats identical: closed-form 6-group fold ==
+    # sequential [w] -> [lb,ul,lu,s,lq]
+    fn = jax.tree_util.tree_leaves_with_path(aux_fold["new_bs"])
+    fo = {jax.tree_util.keystr(p): v
+          for p, v in jax.tree_util.tree_leaves_with_path(bs_split)}
+    assert fn and len(fn) == len(fo)
+    for path, v in fn:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(fo[jax.tree_util.keystr(path)]),
+            rtol=2e-5, atol=2e-6, err_msg=jax.tree_util.keystr(path))
+    # grads identical: the fold's group-0 cotangent is structurally
+    # zero, so folding those 4 images into the differentiated call must
+    # not move any gradient
+    gn = jax.tree_util.tree_leaves_with_path(grads_fold)
+    go = {jax.tree_util.keystr(p): v
+          for p, v in jax.tree_util.tree_leaves_with_path(grads_split)}
+    assert gn and len(gn) == len(go)
+    for path, v in gn:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(go[jax.tree_util.keystr(path)]),
+            rtol=5e-5, atol=5e-6, err_msg=jax.tree_util.keystr(path))

@@ -17,6 +17,7 @@ Usage: python tools/multihost_retry.py [--attempts 8] [--devs 4]
 
 import argparse
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -38,12 +39,22 @@ def main():
         t0 = time.time()
         print(f"[attempt {k}/{args.attempts}] port {env['UST_MH_PORT']} "
               f"devs {args.devs}", flush=True)
+        # start_new_session puts the demo AND the rank workers it spawns
+        # into one process group, so a timeout can kill the whole tree —
+        # an orphaned rank worker would keep pegging the single-core
+        # host (worsening the load flake) and hold the coordinator port.
+        proc = subprocess.Popen(
+            [sys.executable,
+             os.path.join(ROOT, "tools", "multihost_step_demo.py")],
+            env=env, start_new_session=True)
         try:
-            rc = subprocess.run(
-                [sys.executable,
-                 os.path.join(ROOT, "tools", "multihost_step_demo.py")],
-                env=env, timeout=args.timeout).returncode
+            rc = proc.wait(timeout=args.timeout)
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            proc.wait()
             rc = -1
         dt = time.time() - t0
         print(f"[attempt {k}] rc={rc} ({dt:.0f}s)", flush=True)

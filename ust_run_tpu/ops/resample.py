@@ -40,16 +40,6 @@ def bilinear_gather(img, rows, cols):
     h, w, c = img.shape
     if c == 1:
         img = jnp.concatenate([img] * 4, axis=-1)
-    elif c == 3:
-        # RGB: gather in f32. The gather is ROW-bound (~10-12 ns/row
-        # regardless of row bytes at these widths — PERF.md), so wider
-        # f32 rows cost the same as u8 rows, and sourcing f32 removes
-        # the standalone u8->f32 %convert of the (N,2,2,3) patch tensor
-        # plus the layout copy XLA scheduled behind it (profiled 2.2 +
-        # 1.4 ms/step in the fused step). uint8->f32 is exact, so
-        # values are bit-identical. C=1 stays uint8: its rows are
-        # padded copies anyway and the wide-lane tiling differs.
-        img = img.astype(jnp.float32)
     shape = rows.shape
     r0 = jnp.clip(jnp.floor(rows), 0, h - 2)
     c0 = jnp.clip(jnp.floor(cols), 0, w - 2)
@@ -59,6 +49,13 @@ def bilinear_gather(img, rows, cols):
     fc = jnp.clip(cols - c0, 0.0, 1.0).reshape(-1, 1)
     starts = jnp.stack([r0.reshape(-1), c0.reshape(-1)],
                        axis=-1).astype(jnp.int32)
+    # gather in the SOURCE dtype (uint8 corpus images: 4x less gather
+    # traffic than pre-converted f32 — this gather is the single largest
+    # op of the fused train step); interpolation happens in f32 after, so
+    # results are bit-identical (uint8 -> f32 conversion is exact).
+    # Do NOT "optimize" C=3 to an f32-sourced gather to save the
+    # standalone u8->f32 convert of the patch tensor: measured −3.3%
+    # end-to-end images/s (PERF.md dead-end table, r5 A/B 90.9 -> 87.7).
     patches = jax.lax.gather(
         img, starts,
         jax.lax.GatherDimensionNumbers(

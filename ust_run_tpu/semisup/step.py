@@ -6,13 +6,20 @@ a numpy-FFT FDA round trip (GPU->CPU->GPU, train.py:629-636), 3 teacher +
 5-6 student U-Net forwards as separate kernel launches, per-sample dice on
 host numpy (train.py:705-807), python queue bookkeeping, backward, EMA and
 LR updates. Here ALL of it — augmentation, FDA, CutMix, batched teacher
-(one 3-group call) and student (one 5-group call + the 1-image LQ pass)
-forwards, loss, SGD update, EMA, curriculum state transition — compiles
-into a single XLA executable with zero host synchronization. The
-grad-free hardness forward (train.py:668) runs as its own 4-image call
-outside the differentiated region, exactly like the reference's
-autograd graph (see build_inputs); the differentiated student call is
-the 17-image [lb, s_ul, s_lu, s, lq] five-group stack.
+(one 3-group call) and student (one 21-image six-group call incl. the
+1-image LQ group) forwards, loss, SGD update, EMA, curriculum state
+transition — compiles into a single XLA executable with zero host
+synchronization.
+
+Round-5 note: r4's end-of-round snapshot split the grad-free hardness
+forward (train.py:668) out of the differentiated call, arguing ~19% of
+backward conv/BN work carried structurally-zero cotangents. The on-chip
+A/B (PERF.md dead-end table) measured the split at −6.7% images/s: the
+extra 4-image pass batches worse than the zero-cotangent backward costs,
+and the 1-group call serializes against the 17-image call through its
+running-stat handoff. Reverted to the single fold; the split/fold
+equivalence (loss, grads, stats) is pinned by
+tests/test_train_step.py::test_hardness_fold_matches_split.
 
 Algorithm parity notes are inline, keyed to train.py line numbers.
 """
@@ -370,24 +377,6 @@ def make_step_parts(model, hp: HyperParams, mesh=None):
                                       label_box_lq, hp)
         mask_lq = jnp.where(img_box_lq > 0, 1.0, lq.conf)
 
-        # ------ student hardness forward (train.py:668-674) ---------------
-        # In the reference this forward sits OUTSIDE the loss graph:
-        # stu_pseudo_label only feeds the curriculum (hardness dice on
-        # numpy copies, train.py:705-718), so torch's backward never
-        # touches it. Folding it into the differentiated 21-image call
-        # (as r2/r3 did) made XLA run dense backward contractions with
-        # 4 images of structurally-zero cotangent — ~19% of all
-        # backward conv/BN work for nothing (the compiler cannot DCE
-        # zero blocks through a batched conv). Running it here, outside
-        # value_and_grad, is float-exact: each BN group normalizes with
-        # its own batch stats either way, and the sequential running-
-        # stat EMA composes (a 1-group call applied first == group 0 of
-        # the closed-form 6-group fold in layers.GroupedBatchNorm).
-        stu_logits_w, upd_w = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            constrain(ulb_x_w), train=True, groups=1,
-            mutable=["batch_stats"])
-
         # ------ consistency weight (train.py:819-820) ---------------------
         cons_w = ramps.consistency_weight(
             hp.consistency, state.step.astype(jnp.float32),
@@ -395,8 +384,6 @@ def make_step_parts(model, hp: HyperParams, mesh=None):
 
         return dict(
             rng_next=rng_next,
-            stu_logits_w=stu_logits_w,
-            bs_after_w=upd_w["batch_stats"],
             lb_x_w=lb_x_w, ulb_x_w=ulb_x_w, ulb_x_s=ulb_x_s,
             ulb_x_s_ul=ulb_x_s_ul, ulb_x_s_lu=ulb_x_s_lu, lq_s=lq_s,
             lb_mask=lb_mask, ulb_mask=ulb_mask, ulb_dc=ulb_dc,
@@ -413,29 +400,26 @@ def make_step_parts(model, hp: HyperParams, mesh=None):
     # ------ student forwards + loss (train.py:668-674, 699-702,
     #         740, 816-838) -----------------------------------------------
     def loss_terms(params, state, inp):
-        # ONE 17-image differentiated call: the four B=4 student loss
-        # passes plus the B=1 LQ pass (train.py:699-702, 740) as five
-        # BN groups of a single conv stack. Folding the LQ sample in
-        # removes the serial batch-1 conv chain that used to follow the
-        # grouped call (r2 VERDICT weak #2); `group_valid` makes its
-        # running-stat contribution conditional on lq.valid, exactly
-        # like the separate forward it replaces. The grad-free hardness
-        # forward of ulb_x_w (train.py:668) runs in build_inputs — see
-        # the comment there; this call starts from its running-stat
-        # output (`bs_after_w`) so the sequential fold order matches
-        # the reference's forward order [w, lb, ul, lu, s, lq].
+        # ONE 21-image call: the five B=4 student passes plus the B=1
+        # LQ pass (train.py:699-702, 740) as six BN groups of a single
+        # conv stack. Folding the LQ sample in removes the serial
+        # batch-1 conv chain that used to follow the grouped call
+        # (r2 VERDICT weak #2); `group_valid` makes its running-stat
+        # contribution conditional on lq.valid, exactly like the
+        # separate forward it replaces.
         stu_in = constrain(jnp.concatenate(
-            [inp["lb_x_w"], inp["ulb_x_s_ul"],
+            [inp["ulb_x_w"], inp["lb_x_w"], inp["ulb_x_s_ul"],
              inp["ulb_x_s_lu"], inp["ulb_x_s"], inp["lq_s"]]))
-        sizes = (b_lb, b_ulb, b_ulb, b_ulb, 1)
-        valid5 = jnp.concatenate(
-            [jnp.ones((4,), jnp.bool_), jnp.reshape(inp["lq_valid"], (1,))])
+        sizes = (b_ulb, b_lb, b_ulb, b_ulb, b_ulb, 1)
+        valid6 = jnp.concatenate(
+            [jnp.ones((5,), jnp.bool_), jnp.reshape(inp["lq_valid"], (1,))])
         logits_a, upd_a = model.apply(
-            {"params": params, "batch_stats": inp["bs_after_w"]},
-            stu_in, train=True, group_sizes=sizes, group_valid=valid5,
+            {"params": params, "batch_stats": state.batch_stats},
+            stu_in, train=True, group_sizes=sizes, group_valid=valid6,
             mutable=["batch_stats"])
-        bounds = [b_lb, b_lb + b_ulb, b_lb + 2 * b_ulb, b_lb + 3 * b_ulb]
-        (logits_lb, logits_ul, logits_lu,
+        bounds = [b_ulb, b_ulb + b_lb, 2 * b_ulb + b_lb,
+                  3 * b_ulb + b_lb, 4 * b_ulb + b_lb]
+        (stu_logits_w, logits_lb, logits_ul, logits_lu,
          logits_s, logits_lq) = jnp.split(logits_a, bounds)
         new_bs = upd_a["batch_stats"]
         cons_w = inp["cons_w"]
@@ -472,7 +456,7 @@ def make_step_parts(model, hp: HyperParams, mesh=None):
             n_classes=hp.num_classes, mask=inp["mask_w"])
         total = sup_loss + cons_w * (unsup_ul + unsup_lu
                                      + cons_w * unsup_s)  # :838
-        aux = dict(new_bs=new_bs,
+        aux = dict(new_bs=new_bs, stu_logits_w=stu_logits_w,
                    sup_loss=sup_loss, unsup_ul=unsup_ul,
                    unsup_lu=unsup_lu, unsup_s=unsup_s)
         return total, aux
@@ -494,7 +478,8 @@ def make_step_parts(model, hp: HyperParams, mesh=None):
                                state.ema_params, new_params)
 
         # ------ hardness + curriculum update (train.py:705-814) -----------
-        stu_pl, _ = _pseudo_from_logits(inp["stu_logits_w"], hp)
+        stu_pl, _ = _pseudo_from_logits(
+            jax.lax.stop_gradient(aux["stu_logits_w"]), hp)
         hardness = 1.0 - _part_dice(stu_pl, pseudo_label, hp)   # (B,)
         hardness = jnp.where(state.epoch == 0,
                              jnp.ones_like(hardness), hardness)  # :711-713
