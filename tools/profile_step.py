@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/ust_trace")
+    ap.add_argument("--dataset", default="fundus",
+                    choices=["fundus", "prostate", "BUSI", "MNMS"])
     args = ap.parse_args()
 
     import jax
@@ -36,18 +38,20 @@ def main():
     from ust_run_tpu.semisup import HyperParams, create_train_state
     from ust_run_tpu.semisup.step import make_train_step
 
-    cfg = TrainConfig(dataset="fundus").resolve()
+    cfg = TrainConfig(dataset=args.dataset).resolve()
     hp = HyperParams.from_config(cfg)
     model = build_model(cfg)
     state = create_train_state(model, hp, 0)
     step = make_train_step(model, hp)
     rng = np.random.RandomState(0)
     s = hp.patch
+    C = cfg.profile().num_channels
+    K = 3 if args.dataset == "MNMS" else 1
     data = {
-        "lb_img": rng.randint(0, 256, (64, s, s, 3)).astype(np.uint8),
-        "lb_lab": rng.choice([0, 128, 255], (64, s, s, 1)).astype(np.uint8),
-        "ulb_img": rng.randint(0, 256, (64, s, s, 3)).astype(np.uint8),
-        "ulb_lab": rng.choice([0, 128, 255], (64, s, s, 1)
+        "lb_img": rng.randint(0, 256, (64, s, s, C)).astype(np.uint8),
+        "lb_lab": rng.choice([0, 128, 255], (64, s, s, K)).astype(np.uint8),
+        "ulb_img": rng.randint(0, 256, (64, s, s, C)).astype(np.uint8),
+        "ulb_lab": rng.choice([0, 128, 255], (64, s, s, K)
                               ).astype(np.uint8),
         "ulb_dc": np.ones(64, np.int32),
     }

@@ -93,8 +93,16 @@ def softmax_ce(logits, target):
     logits: (B,H,W,C); target: (B,H,W) int. Returns (B,H,W).
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
-                                axis=-1)[..., 0]
+    # one-hot contraction, NOT take_along_axis: the per-pixel 1-element
+    # gather lowers to a scalar path on TPU — profiled at ~5 ms per CE
+    # term on the MNMS step (4 terms = 21 ms, 15.6% of the step; PERF.md
+    # r5 bucket table). The C-term multiply-sum is exact (one 1.0 lane,
+    # C-1 exact-0.0 lanes) and fuses into the log_softmax.
+    classes = jax.lax.broadcasted_iota(
+        jnp.int32, (logits.shape[-1],), 0)
+    onehot = (target[..., None].astype(jnp.int32) == classes).astype(
+        jnp.float32)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def ce_plus_dice(logits, target, *, multilabel, n_classes, mask=None):
