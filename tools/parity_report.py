@@ -14,6 +14,7 @@ Usage:
 """
 
 import argparse
+import gzip
 import re
 
 
@@ -27,7 +28,8 @@ def parse_log(path, parts):
     train.py:368-379)."""
     records = []
     model_cycle = ["ema", "stu"]
-    with open(path) as f:
+    op = gzip.open if str(path).endswith(".gz") else open
+    with op(path, "rt") as f:
         text = f.read()
     # strip timestamps "[HH:MM:SS.mmm] "
     text = re.sub(r"^\[[0-9:.]+\] ", "", text, flags=re.M)
