@@ -89,6 +89,9 @@ def main():
     # (models/unet.py pack_l1). The headline default is the packed layout
     # (cfg.pack_l1=1), the shipping configuration.
     cfg.pack_l1 = int(os.environ.get("UST_BENCH_PACK", cfg.pack_l1))
+    # A/B knob: UST_BENCH_SPLIT=0 benches the concat form of the Up-path
+    # first convs (models/layers.SplitConv3x3 off).
+    cfg.split_up = int(os.environ.get("UST_BENCH_SPLIT", cfg.split_up))
     hp = HyperParams.from_config(cfg)
     model = build_model(cfg)
     state = create_train_state(model, hp, 0)

@@ -134,6 +134,12 @@ class TrainConfig:
     # spatial columns folded into channels fill the 128-lane MXU —
     # models/unet.py pack_l1). 1 = on (default), 0 = plain NHWC.
     pack_l1: int = 1
+    # Compute each Up block's first conv as two summed sliced convs
+    # instead of conv(concat([skip, up])) — skips the concat
+    # materialization forward and the split backward (exact contraction,
+    # f32-reduction-order-level diffs only; models/layers.SplitConv3x3).
+    # Measured +2.4% images/s on-chip (PERF.md r5). 1 = on (default).
+    split_up: int = 1
 
     def profile(self) -> DatasetProfile:
         p = PROFILES[self.dataset]
@@ -241,6 +247,10 @@ def build_parser(default_dataset="BUSI", mnms=False) -> argparse.ArgumentParser:
                         help="W-packed 64-channel U-Net level 1 (exact "
                              "layout change, fills the 128-lane MXU); "
                              "0 = plain NHWC")
+    parser.add_argument("--split_up", type=int, default=1,
+                        help="Up-path first convs as summed sliced convs "
+                             "(no skip-concat materialization); 0 = "
+                             "concat form")
     return parser
 
 

@@ -51,7 +51,8 @@ def build_model(cfg: TrainConfig, dtype=None):
     model_dtype = jnp.bfloat16 if (cfg.amp and dtype is None) else dtype
     if cfg.model == "unet":
         return UNet(n_channels=p.num_channels, n_classes=p.num_classes,
-                    dtype=model_dtype, pack_l1=bool(cfg.pack_l1))
+                    dtype=model_dtype, pack_l1=bool(cfg.pack_l1),
+                    split_up=bool(getattr(cfg, "split_up", 1)))
     if cfg.model == "unet2d":
         from ust_run_tpu.models import Unet2D
         return Unet2D(c=p.num_channels, num_classes=p.num_classes)

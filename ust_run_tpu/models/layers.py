@@ -225,6 +225,46 @@ class PackedConv3x3(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class SplitConv3x3(nn.Module):
+    """conv3x3 over a TWO-PIECE input without materializing the concat.
+
+    conv(concat([a, b]), W) == conv(a, W[:, :, :ka]) + conv(b, W[:, :, ka:])
+    (the contraction splits along the input-channel reduction dim; the
+    f32 accumulation order changes, so results are tolerance-equal, not
+    bit-equal). Creates EXACTLY the parameter of the conv3x3/
+    PackedConv3x3 it replaces (name it "Conv_0" when swapping in).
+    Motivation: the Up-path first convs consume a skip concat whose
+    forward materialization and backward split showed up as discrete
+    multi-ms ops in the r5 fundus trace (PERF.md). `packed`: both
+    pieces are P=2 W-packed; kernel slices are packed per piece
+    (ops/packing.pack2_weights_split semantics)."""
+    features: int
+    splits: tuple
+    packed: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        from ust_run_tpu.ops.packing import pack_weights
+        ka, kb = self.splits
+        w = self.param("kernel", torch_conv_kernel_init,
+                       (3, 3, ka + kb, self.features), jnp.float32)
+        dt = self.dtype or a.dtype
+        if self.packed:
+            wa = pack_weights(w[:, :, :ka], 2).astype(dt)
+            wb = pack_weights(w[:, :, ka:], 2).astype(dt)
+        else:
+            wa = w[:, :, :ka].astype(dt)
+            wb = w[:, :, ka:].astype(dt)
+
+        def cv(x_, w_):
+            return jax.lax.conv_general_dilated(
+                x_.astype(dt), w_, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        return cv(a, wa) + cv(b, wb)
+
+
 class PackedStemConv3x3(nn.Module):
     """conv3x3 from an UNPACKED input to a P=2 W-packed output:
     stride-(1,2) kernel-(3,4) conv, padding ((1,1),(1,2))."""

@@ -47,16 +47,25 @@ class DoubleConv(nn.Module):
     in_splits: tuple = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, groups: int = 1,
+    def __call__(self, x, x_b=None, *, train: bool, groups: int = 1,
                  group_sizes=None, group_valid=None):
         mid = self.mid_ch or self.out_ch
-        if self.packed == "stem":
+        if x_b is not None:
+            # two-piece input (skip, upsampled): first conv computed as
+            # summed sliced convs, skipping the concat (see SplitConv3x3)
+            from ust_run_tpu.models.layers import SplitConv3x3
+            assert self.packed in ("none", "packed")
+            splits = self.in_splits or (x.shape[-1], x_b.shape[-1])
+            x = SplitConv3x3(mid, splits=splits,
+                             packed=self.packed == "packed",
+                             dtype=self.dtype, name="Conv_0")(x, x_b)
+        elif self.packed == "stem":
             x = PackedStemConv3x3(mid, dtype=self.dtype, name="Conv_0")(x)
         elif self.packed == "packed":
             x = PackedConv3x3(mid, in_splits=self.in_splits,
                               dtype=self.dtype, name="Conv_0")(x)
         else:
-            x = conv3x3(mid, dtype=self.dtype)(x)
+            x = conv3x3(mid, dtype=self.dtype, name="Conv_0")(x)
         is_packed = self.packed != "none"
         x = GroupedBatchNorm()(x, train=train, groups=groups,
                                group_sizes=group_sizes,
@@ -66,7 +75,7 @@ class DoubleConv(nn.Module):
             x = PackedConv3x3(self.out_ch, dtype=self.dtype,
                               name="Conv_1")(x)
         else:
-            x = conv3x3(self.out_ch, dtype=self.dtype)(x)
+            x = conv3x3(self.out_ch, dtype=self.dtype, name="Conv_1")(x)
         x = GroupedBatchNorm()(x, train=train, groups=groups,
                                group_sizes=group_sizes,
                                group_valid=group_valid, packed=is_packed)
@@ -104,6 +113,7 @@ class Up(nn.Module):
     out_ch: int
     dtype: Optional[jnp.dtype] = None
     packed: bool = False
+    split_first: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, *, train: bool, groups: int = 1,
@@ -114,11 +124,14 @@ class Up(nn.Module):
             x1 = PackedConvTranspose2x2(in_ch // 2, dtype=self.dtype,
                                         name="ConvTranspose_0")(x1)
             assert x1.shape[1] == x2.shape[1] and x1.shape[2] == x2.shape[2]
+            dc = DoubleConv(self.out_ch, dtype=self.dtype, packed="packed",
+                            in_splits=(skip_c, in_ch // 2))
+            if self.split_first:
+                return dc(x2, x1, train=train, groups=groups,
+                          group_sizes=group_sizes, group_valid=group_valid)
             x = jnp.concatenate([x2, x1], axis=-1)
-            return DoubleConv(self.out_ch, dtype=self.dtype, packed="packed",
-                              in_splits=(skip_c, in_ch // 2))(
-                x, train=train, groups=groups, group_sizes=group_sizes,
-                group_valid=group_valid)
+            return dc(x, train=train, groups=groups, group_sizes=group_sizes,
+                      group_valid=group_valid)
         x1 = nn.ConvTranspose(
             in_ch // 2, (2, 2), strides=(2, 2), padding="VALID",
             kernel_init=torch_convT_kernel_init,
@@ -129,6 +142,10 @@ class Up(nn.Module):
         if dh or dw:
             x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
                               (dw // 2, dw - dw // 2), (0, 0)))
+        if self.split_first:
+            return DoubleConv(self.out_ch, dtype=self.dtype)(
+                x2, x1, train=train, groups=groups,
+                group_sizes=group_sizes, group_valid=group_valid)
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.out_ch, dtype=self.dtype)(
             x, train=train, groups=groups, group_sizes=group_sizes,
@@ -142,6 +159,7 @@ class UNet(nn.Module):
     bilinear: bool = False
     dtype: Optional[jnp.dtype] = None
     pack_l1: bool = False
+    split_up: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True, groups: int = 1,
@@ -158,10 +176,15 @@ class UNet(nn.Module):
         x3 = Down(256, dtype=dt, name="down2")(x2, **gkw)
         x4 = Down(512, dtype=dt, name="down3")(x3, **gkw)
         x5 = Down(1024 // factor, dtype=dt, name="down4")(x4, **gkw)
-        y = Up(512 // factor, dtype=dt, name="up1")(x5, x4, **gkw)
-        y = Up(256 // factor, dtype=dt, name="up2")(y, x3, **gkw)
-        y = Up(128 // factor, dtype=dt, name="up3")(y, x2, **gkw)
-        y = Up(64, dtype=dt, packed=pk, name="up4")(y, x1, **gkw)
+        sp = self.split_up
+        y = Up(512 // factor, dtype=dt, split_first=sp, name="up1")(
+            x5, x4, **gkw)
+        y = Up(256 // factor, dtype=dt, split_first=sp, name="up2")(
+            y, x3, **gkw)
+        y = Up(128 // factor, dtype=dt, split_first=sp, name="up3")(
+            y, x2, **gkw)
+        y = Up(64, dtype=dt, packed=pk, split_first=sp, name="up4")(
+            y, x1, **gkw)
         if pk:
             logits = PackedOutConv(self.n_classes, dtype=dt, name="outc")(y)
         else:
