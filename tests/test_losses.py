@@ -113,3 +113,20 @@ def test_kl_and_mse_consistency_losses():
     ref_kl = float(F.kl_div(F.log_softmax(ta, -1), torch.softmax(tb, -1),
                             reduction="mean"))
     assert np.isclose(float(losses.softmax_kl_loss(a, b)), ref_kl, rtol=1e-4)
+
+
+def test_softmax_ce_one_hot_matches_take_along_axis():
+    """r5: softmax_ce's class pick is a one-hot contraction (the
+    take_along_axis form lowered to a ~5 ms/term scalar gather path on
+    TPU — PERF.md). Pin bit-identity against the gather form."""
+    import jax
+    rng = np.random.RandomState(3)
+    import jax.numpy as jnp
+    for C in (2, 4):
+        logits = jnp.asarray(rng.randn(2, 17, 17, C).astype(np.float32) * 30)
+        tgt = jnp.asarray(rng.randint(0, C, (2, 17, 17)))
+        ref = -jnp.take_along_axis(
+            jax.nn.log_softmax(logits, -1),
+            tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        new = losses.softmax_ce(logits, tgt)
+        assert (np.asarray(ref) == np.asarray(new)).all()

@@ -254,3 +254,39 @@ def test_bilinear_gather_single_channel_is_padded():
     gathers = [l for l in low.splitlines() if "stablehlo.gather" in l]
     assert gathers and all("array<i64: 2, 2, 4>" in g for g in gathers), \
         gathers
+
+
+def test_bilinear_gather_per_tap_convert_bit_identical():
+    """r5: bilinear_gather slices the u8 taps FIRST and converts
+    per-tap (kills a 2.16 ms standalone convert + 1.42 ms layout copy
+    on TPU — PERF.md). Pin bit-identity against the whole-tensor
+    astype form for both the C=1 (pad-4) and C=3 layouts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ust_run_tpu.ops.resample import bilinear_gather
+
+    rng = np.random.RandomState(7)
+    for C in (1, 3):
+        img = jnp.asarray(rng.randint(0, 256, (40, 40, C)).astype(np.uint8))
+        r = jnp.asarray(rng.uniform(-2, 41, (33, 33)).astype(np.float32))
+        c = jnp.asarray(rng.uniform(-2, 41, (33, 33)).astype(np.float32))
+        out = bilinear_gather(img, r, c)
+        h, w, cc = img.shape
+        im = jnp.concatenate([img] * 4, -1) if cc == 1 else img
+        r0 = jnp.clip(jnp.floor(r), 0, h - 2)
+        c0 = jnp.clip(jnp.floor(c), 0, w - 2)
+        fr = jnp.clip(r - r0, 0, 1).reshape(-1, 1)
+        fc = jnp.clip(c - c0, 0, 1).reshape(-1, 1)
+        starts = jnp.stack([r0.reshape(-1), c0.reshape(-1)],
+                           -1).astype(jnp.int32)
+        pat = jax.lax.gather(
+            im, starts,
+            jax.lax.GatherDimensionNumbers((1, 2, 3), (), (0, 1)),
+            (2, 2, im.shape[-1]),
+            mode=jax.lax.GatherScatterMode.CLIP)[..., :cc]
+        p = pat.astype(jnp.float32)
+        top = p[:, 0, 0] * (1 - fc) + p[:, 0, 1] * fc
+        bot = p[:, 1, 0] * (1 - fc) + p[:, 1, 1] * fc
+        ref = (top * (1 - fr) + bot * fr).reshape(33, 33, cc)
+        assert (np.asarray(out) == np.asarray(ref)).all()
